@@ -1,0 +1,174 @@
+"""Model factory: build foreground/background model bundles from hparams.
+
+Parity target: reference `mega_nerf/models/model_utils.py` (get_nerf /
+get_bg_nerf / _get_single_nerf_inner). A `ModelBundle` wraps the Flax module
+with a uniform functional surface the renderer consumes:
+
+    apply(params, typ, xyz, dirs, image_indices, sigma_noise, sigma_only)
+
+where `typ` is 'coarse' or 'fine' (ignored by non-cascade models), and `xyz`
+follows the reference's input-width contract: 3 (fg), 4 (bg inverted-sphere),
+or routing-prefixed 6/7/8 for MegaNeRF mixtures (real-world coords prepended
+for routing, reference `rendering.py:52-56`, `models/mega_nerf.py:36`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from argparse import Namespace
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mega_nerf_tpu.models.cascade import Cascade
+from mega_nerf_tpu.models.mega import cluster_weights, mega_apply
+from mega_nerf_tpu.models.nerf import NeRF, NeRFConfig
+
+
+def nerf_config_from_hparams(
+    hparams: Namespace, appearance_count: int, layer_dim: int, xyz_dim: int
+) -> NeRFConfig:
+    """Reference `_get_single_nerf_inner` (`model_utils.py:56-69`)."""
+    sh_deg = getattr(hparams, "sh_deg", None)
+    rgb_dim = 3 * ((sh_deg + 1) ** 2) if sh_deg is not None else 3
+    return NeRFConfig(
+        pos_xyz_dim=getattr(hparams, "pos_xyz_dim", 12),
+        pos_dir_dim=getattr(hparams, "pos_dir_dim", 4),
+        layers=getattr(hparams, "layers", 8),
+        skip_layers=tuple(getattr(hparams, "skip_layers", (4,))),
+        layer_dim=layer_dim,
+        appearance_dim=getattr(hparams, "appearance_dim", 48),
+        affine_appearance=getattr(hparams, "affine_appearance", False),
+        appearance_count=appearance_count,
+        rgb_dim=rgb_dim,
+        xyz_dim=xyz_dim,
+        shifted_softplus=getattr(hparams, "shifted_softplus", True),
+        compute_dtype=getattr(hparams, "compute_dtype", "float32"),
+    )
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    """A model + its functional apply/init surface.
+
+    For MegaNeRF mixtures (`centroids is not None`), `params` carries a
+    leading submodule axis on every leaf and apply routes points by centroid
+    distance with `boundary_margin` blending.
+    """
+
+    module: Any  # NeRF | Cascade
+    config: NeRFConfig
+    cascade: bool = False
+    centroids: Optional[jnp.ndarray] = None
+    boundary_margin: float = 1.0
+    cluster_dim_start: int = 0
+    xyz_real: bool = False  # input = [routing_xyz(3) | model_input(xyz_dim)]
+
+    @property
+    def is_mega(self) -> bool:
+        return self.centroids is not None
+
+    def init(self, key: jax.Array):
+        cfg = self.config
+        xyz = jnp.zeros((1, cfg.xyz_dim))
+        dirs = jnp.zeros((1, 3)) if cfg.pos_dir_dim > 0 else None
+        idx = jnp.zeros((1,), jnp.int32) if cfg.appearance_dim > 0 else None
+        if self.cascade:
+            init_one = lambda kk: self.module.init(
+                kk, xyz, dirs, idx, method=self.module.init_all
+            )["params"]
+        else:
+            init_one = lambda kk: self.module.init(kk, xyz, dirs, idx)["params"]
+        if self.is_mega:
+            keys = jax.random.split(key, self.centroids.shape[0])
+            return jax.vmap(init_one)(keys)
+        return init_one(key)
+
+    def _single_apply(self, params, typ, xyz, dirs, image_indices, sigma_noise,
+                      sigma_only):
+        if self.cascade:
+            return self.module.apply(
+                {"params": params}, typ == "coarse", xyz, dirs, image_indices,
+                sigma_noise, sigma_only,
+            )
+        return self.module.apply(
+            {"params": params}, xyz, dirs, image_indices, sigma_noise, sigma_only
+        )
+
+    def apply(
+        self,
+        params,
+        typ: str,
+        xyz: jnp.ndarray,
+        dirs: Optional[jnp.ndarray] = None,
+        image_indices: Optional[jnp.ndarray] = None,
+        sigma_noise: Optional[jnp.ndarray] = None,
+        sigma_only: bool = False,
+    ) -> jnp.ndarray:
+        if not self.is_mega:
+            return self._single_apply(
+                params, typ, xyz, dirs, image_indices, sigma_noise, sigma_only
+            )
+
+        if self.xyz_real:
+            routing_pts, model_in = xyz[..., :3], xyz[..., 3:]
+        else:
+            routing_pts, model_in = xyz[..., :3], xyz
+        weights = cluster_weights(
+            routing_pts, self.centroids, self.boundary_margin, self.cluster_dim_start
+        )
+        return mega_apply(
+            lambda p, *a: self._single_apply(p, typ, *a),
+            params,
+            weights,
+            model_in,
+            dirs,
+            image_indices,
+            sigma_noise,
+            sigma_only,
+        )
+
+
+def _make_bundle(
+    hparams: Namespace,
+    appearance_count: int,
+    layer_dim: int,
+    xyz_dim: int,
+) -> ModelBundle:
+    cfg = nerf_config_from_hparams(hparams, appearance_count, layer_dim, xyz_dim)
+    use_cascade = getattr(hparams, "use_cascade", False)
+    centroid_meta = getattr(hparams, "_mega_centroid_metadata", None)
+
+    if centroid_meta is not None:
+        # Joint MegaNeRF training (reference --train_mega_nerf,
+        # `model_utils.py:37-42`): one mixture, hard assignment.
+        centroids = jnp.asarray(centroid_meta["centroids"])
+        cluster_2d = bool(centroid_meta["cluster_2d"])
+        module = NeRF(cfg)
+        return ModelBundle(
+            module=module,
+            config=cfg,
+            cascade=False,
+            centroids=centroids,
+            boundary_margin=1.0,
+            cluster_dim_start=1 if cluster_2d else 0,
+            xyz_real=(xyz_dim == 4),
+        )
+
+    if use_cascade:
+        return ModelBundle(module=Cascade(cfg), config=cfg, cascade=True)
+    return ModelBundle(module=NeRF(cfg), config=cfg)
+
+
+def make_nerf(hparams: Namespace, appearance_count: int) -> ModelBundle:
+    """Foreground model (reference `model_utils.py:12-13`)."""
+    return _make_bundle(hparams, appearance_count, getattr(hparams, "layer_dim", 256), 3)
+
+
+def make_bg_nerf(hparams: Namespace, appearance_count: int) -> ModelBundle:
+    """Background model — xyz_dim 4 for the NeRF++ inverted-sphere coordinate
+    (reference `model_utils.py:16-17`)."""
+    return _make_bundle(
+        hparams, appearance_count, getattr(hparams, "bg_layer_dim", 256), 4
+    )

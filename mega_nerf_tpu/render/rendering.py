@@ -1,0 +1,456 @@
+"""Hierarchical coarse->fine volume renderer with NeRF++ fg/bg decomposition.
+
+Parity target: reference `mega_nerf/rendering.py:15-393` (`render_rays`,
+`_get_results`, `_inference`). Redesigned for XLA:
+
+- **Static shapes everywhere.** The reference gathers the subset of rays
+  whose far bound exceeds the foreground ellipsoid exit (`rendering.py:37`)
+  and runs the background model only on those. Here the background is
+  evaluated densely for *all* rays and its contribution is masked by
+  `has_bg = far > fg_far` — identical output, no dynamic shapes, and the
+  extra FLOPs vectorize onto the MXU.
+- **No model chunking inside the renderer.** The reference loops
+  `model_chunk_size` slices in Python (`rendering.py:289,311`); under jit
+  XLA tiles the batched MLP itself. Host-level chunking only happens at the
+  whole-image eval loop.
+- **Explicit PRNG.** Stratified perturbation, hierarchical sampling, and the
+  uniform sigma noise (`rendering.py:294,321`) consume split jax keys.
+- **No dead-submodule hack.** The reference forwards empty batches so DDP's
+  all-reduce doesn't hang (`rendering.py:143-171`, `models/mega_nerf.py:51-59`);
+  jitted SPMD programs always touch all parameters, so absent rays simply
+  produce zero gradients. The trainer uses the returned `bg_rays_present`
+  scalar to skip the background optimizer step like the reference does
+  (`runner.py:268-272`).
+
+Known deviation: for background fine sampling the reference pairs
+ascending-z bins with compositing weights computed in *descending*-z order
+(`rendering.py:213-216` vs `271-273`), effectively reversing the sampling
+PDF across bins. We align weights to bins (flipping the weights back), which
+places the background fine samples where the coarse pass actually found
+density.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mega_nerf_tpu.models.factory import ModelBundle
+from mega_nerf_tpu.ops.compositing import composite_weights
+from mega_nerf_tpu.ops.geometry import depth2pts_outside, intersect_sphere
+from mega_nerf_tpu.ops.sampling import expand_and_perturb_z_vals, sample_pdf
+from mega_nerf_tpu.ops.sh import eval_sh
+
+INF_DELTA = 1e10
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Static (hashable) rendering configuration — safe as a jit closure."""
+
+    coarse_samples: int = 256
+    fine_samples: int = 512
+    use_cascade: bool = False
+    perturb: float = 1.0
+    sh_deg: Optional[int] = None
+    get_depth: bool = False
+    get_depth_variance: bool = False
+    get_bg_fg_rgb: bool = False
+
+    @classmethod
+    def from_hparams(cls, hparams, **overrides) -> "RenderSettings":
+        kw = dict(
+            coarse_samples=getattr(hparams, "coarse_samples", 256),
+            fine_samples=getattr(hparams, "fine_samples", 512),
+            use_cascade=getattr(hparams, "use_cascade", False),
+            perturb=getattr(hparams, "perturb", 1.0),
+            sh_deg=getattr(hparams, "sh_deg", None),
+        )
+        kw.update(overrides)
+        return cls(**kw)
+
+
+def _model_eval(
+    bundle: ModelBundle,
+    params,
+    typ: str,
+    settings: RenderSettings,
+    xyz: jnp.ndarray,  # (N, S, D)
+    rays_d: jnp.ndarray,  # (N, 1, 3)
+    image_indices: Optional[jnp.ndarray],  # (N,)
+    train: bool,
+    key: Optional[jax.Array],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Evaluate the MLP on all samples -> (rgbs (N,S,3), sigmas (N,S)).
+
+    Mirrors the reference chunk loop body (`rendering.py:285-334`) without
+    chunking; applies the SH head + sigmoid when sh_deg is set
+    (`rendering.py:301-306`).
+    """
+    n, s, d = xyz.shape
+    flat_xyz = xyz.reshape(n * s, d)
+    dirs = jnp.broadcast_to(rays_d, (n, s, 3)).reshape(n * s, 3)
+    use_dirs = bundle.config.pos_dir_dim > 0
+    idx = None
+    if bundle.config.appearance_dim > 0:
+        assert image_indices is not None
+        idx = jnp.broadcast_to(image_indices[:, None], (n, s)).reshape(n * s)
+
+    sigma_noise = None
+    if train and key is not None:
+        # Uniform [0,1) pre-activation density noise (rendering.py:294,321).
+        sigma_noise = jax.random.uniform(key, (n * s, 1))
+
+    out = bundle.apply(
+        params, typ, flat_xyz, dirs if use_dirs else None, idx, sigma_noise
+    )
+
+    if settings.sh_deg is not None:
+        rgb_dim = 3 * (settings.sh_deg + 1) ** 2
+        coeffs = out[:, :rgb_dim].reshape(n * s, 3, (settings.sh_deg + 1) ** 2)
+        rgb = jax.nn.sigmoid(eval_sh(settings.sh_deg, coeffs, dirs))
+        out = jnp.concatenate([rgb, out[:, rgb_dim:]], axis=-1)
+
+    out = out.reshape(n, s, out.shape[-1])
+    return out[..., :3], out[..., 3]
+
+
+def _inference(
+    results: Dict[str, jnp.ndarray],
+    typ: str,
+    bundle: ModelBundle,
+    params,
+    settings: RenderSettings,
+    rays_d: jnp.ndarray,
+    image_indices: Optional[jnp.ndarray],
+    xyz: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    last_delta: jnp.ndarray,  # (N, 1)
+    composite_rgb: bool,
+    get_depth: bool,
+    get_depth_variance: bool,
+    get_weights: bool,
+    get_bg_lambda: bool,
+    flip: bool,
+    depth_real: Optional[jnp.ndarray],
+    train: bool,
+    key: Optional[jax.Array],
+) -> None:
+    """One sampling level: MLP eval + (optional coarse merge) + compositing.
+
+    Parity: reference `_inference` (`rendering.py:251-393`). The coarse raw
+    outputs are stashed in `results` under zvals/raw_rgb/raw_sigma/_coarse
+    and merged into the fine pass by a descending/ascending sort, exactly as
+    the reference does for the non-cascade path (`rendering.py:336-350`).
+    """
+    merge_prev = "zvals_coarse" in results
+
+    if flip and not merge_prev:
+        xyz = jnp.flip(xyz, axis=-2)
+        z_vals = jnp.flip(z_vals, axis=-1)
+        if depth_real is not None:
+            depth_real = jnp.flip(depth_real, axis=-1)
+
+    rgbs, sigmas = _model_eval(
+        bundle, params, typ, settings, xyz, rays_d, image_indices, train, key
+    )
+
+    if merge_prev:
+        z_all = jnp.concatenate([z_vals, results["zvals_coarse"]], axis=-1)
+        order = jnp.argsort(-z_all if flip else z_all, axis=-1)
+        z_vals = jnp.take_along_axis(z_all, order, axis=-1)
+        rgbs = jnp.take_along_axis(
+            jnp.concatenate([rgbs, results["raw_rgb_coarse"]], axis=1),
+            order[..., None],
+            axis=1,
+        )
+        sigmas = jnp.take_along_axis(
+            jnp.concatenate([sigmas, results["raw_sigma_coarse"]], axis=1),
+            order,
+            axis=1,
+        )
+        if depth_real is not None:
+            depth_real = jnp.take_along_axis(
+                jnp.concatenate([depth_real, results["depth_real_coarse"]], axis=-1),
+                order,
+                axis=-1,
+            )
+
+    cw = composite_weights(sigmas, z_vals, last_delta, flip=flip)
+    weights = cw.weights
+
+    if get_bg_lambda:
+        results[f"bg_lambda_{typ}"] = cw.bg_lambda
+    if get_weights:
+        results[f"weights_{typ}"] = weights
+
+    if composite_rgb:
+        results[f"rgb_{typ}"] = jnp.sum(weights[..., None] * rgbs, axis=1)
+    else:
+        results[f"zvals_{typ}"] = z_vals
+        results[f"raw_rgb_{typ}"] = rgbs
+        results[f"raw_sigma_{typ}"] = sigmas
+        if depth_real is not None:
+            results[f"depth_real_{typ}"] = depth_real
+
+    if get_depth or get_depth_variance:
+        w = jax.lax.stop_gradient(weights)
+        z = jax.lax.stop_gradient(depth_real if depth_real is not None else z_vals)
+        depth_map = jnp.sum(w * z, axis=1)
+        if get_depth:
+            results[f"depth_{typ}"] = depth_map
+        if get_depth_variance:
+            zz = jax.lax.stop_gradient(z_vals)
+            results[f"depth_variance_{typ}"] = jnp.sum(
+                w * jnp.square(zz - depth_map[:, None]), axis=-1
+            )
+
+
+def _get_results(
+    bundle: ModelBundle,
+    params,
+    settings: RenderSettings,
+    rays_d: jnp.ndarray,
+    image_indices: Optional[jnp.ndarray],
+    xyz_coarse: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    last_delta: jnp.ndarray,
+    get_depth: bool,
+    get_depth_variance: bool,
+    get_bg_lambda: bool,
+    flip: bool,
+    depth_real: Optional[jnp.ndarray],
+    xyz_fine_fn,
+    fine_samples: int,
+    train: bool,
+    key: Optional[jax.Array],
+) -> Dict[str, jnp.ndarray]:
+    """Coarse pass + hierarchical fine pass (reference `rendering.py:176-248`)."""
+    results: Dict[str, jnp.ndarray] = {}
+
+    k_noise_c = k_sample = k_noise_f = None
+    if key is not None:
+        k_noise_c, k_sample, k_noise_f = jax.random.split(key, 3)
+
+    capped = last_delta[:, 0] < INF_DELTA
+    z_max = jnp.max(z_vals, axis=-1)
+    last_delta_c = last_delta - jnp.where(capped, z_max, 0.0)[:, None]
+
+    _inference(
+        results,
+        "coarse",
+        bundle,
+        params,
+        settings,
+        rays_d,
+        image_indices,
+        xyz_coarse,
+        z_vals,
+        last_delta_c,
+        # The reference only composites coarse when cascading
+        # (rendering.py:204); we also composite when there is no fine pass at
+        # all so coarse-only configs still produce rgb_coarse.
+        composite_rgb=settings.use_cascade or fine_samples == 0,
+        get_depth=(fine_samples == 0) and get_depth,
+        get_depth_variance=(fine_samples == 0) and get_depth_variance,
+        get_weights=fine_samples > 0,
+        get_bg_lambda=get_bg_lambda and (settings.use_cascade or fine_samples == 0),
+        flip=flip,
+        depth_real=depth_real,
+        train=train,
+        key=k_noise_c,
+    )
+
+    if fine_samples == 0:
+        return results
+
+    z_vals_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+    weights_c = jax.lax.stop_gradient(results.pop("weights_coarse"))[:, 1:-1]
+    if flip:
+        # Deviation from the reference (see module docstring): weights were
+        # computed in descending-z order; flip them back to align with the
+        # ascending bins before building the sampling CDF.
+        weights_c = jnp.flip(weights_c, axis=-1)
+    perturb = settings.perturb if train else 0.0
+    fine_z_vals = sample_pdf(
+        z_vals_mid, weights_c, fine_samples, det=(perturb == 0), key=k_sample
+    )
+    fine_z_vals = jax.lax.stop_gradient(fine_z_vals)
+
+    if settings.use_cascade:
+        fine_z_vals = jnp.sort(
+            jnp.concatenate([z_vals, fine_z_vals], axis=-1), axis=-1
+        )
+
+    xyz_fine, depth_real_fine = xyz_fine_fn(fine_z_vals)
+
+    z_max_f = jnp.max(fine_z_vals, axis=-1)
+    last_delta_f = last_delta - jnp.where(capped, z_max_f, 0.0)[:, None]
+
+    _inference(
+        results,
+        "fine",
+        bundle,
+        params,
+        settings,
+        rays_d,
+        image_indices,
+        xyz_fine,
+        fine_z_vals,
+        last_delta_f,
+        composite_rgb=True,
+        get_depth=get_depth,
+        get_depth_variance=get_depth_variance,
+        get_weights=False,
+        get_bg_lambda=get_bg_lambda,
+        flip=flip,
+        depth_real=depth_real_fine,
+        train=train,
+        key=k_noise_f,
+    )
+
+    for k in ("zvals_coarse", "raw_rgb_coarse", "raw_sigma_coarse",
+              "depth_real_coarse"):
+        results.pop(k, None)
+    return results
+
+
+def render_rays(
+    fg: ModelBundle,
+    bg: Optional[ModelBundle],
+    fg_params,
+    bg_params,
+    rays: jnp.ndarray,  # (N, 8)
+    image_indices: Optional[jnp.ndarray],  # (N,)
+    settings: RenderSettings,
+    sphere_center: Optional[jnp.ndarray] = None,
+    sphere_radius: Optional[jnp.ndarray] = None,
+    train: bool = False,
+    key: Optional[jax.Array] = None,
+) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+    """Render a batch of rays -> (results dict, bg_rays_present scalar).
+
+    Parity: reference `render_rays` (`rendering.py:15-173`). The results dict
+    carries the same keys (`rgb_fine`, `depth_fine`, `bg_lambda_fine`,
+    `fg_rgb_fine`, ... depending on settings).
+    """
+    n_rays = rays.shape[0]
+    rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 6:7], rays[:, 7:8]
+
+    perturb = settings.perturb if train else 0.0
+    k_fg = k_fg_perturb = k_bg = k_bg_perturb = None
+    if key is not None:
+        k_fg, k_fg_perturb, k_bg, k_bg_perturb = jax.random.split(key, 4)
+
+    last_delta = jnp.full((n_rays, 1), INF_DELTA)
+    bg_results = None
+    has_bg = None
+
+    rays_o3 = rays_o[:, None, :]
+    rays_d3 = rays_d[:, None, :]
+
+    if bg is not None:
+        fg_far = intersect_sphere(rays_o, rays_d, sphere_center, sphere_radius)
+        fg_far = jnp.maximum(fg_far, near[:, 0])
+        has_bg = far[:, 0] > fg_far  # (N,)
+        # Equivalent to the reference's gather: bg rays get last_delta=fg_far
+        # (rendering.py:43) and everyone's far is clamped to the ellipsoid
+        # exit (rendering.py:45 — a no-op for rays that never leave it).
+        last_delta = jnp.where(has_bg[:, None], fg_far[:, None], last_delta)
+        far = jnp.minimum(far, fg_far[:, None])
+
+        s_bg = settings.coarse_samples // 2
+        bg_z = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0, s_bg), (n_rays, s_bg)
+        )
+        bg_z = expand_and_perturb_z_vals(
+            bg_z, perturb, k_bg_perturb if train else None
+        )
+
+        include_xyz_real = bg.is_mega and bg.xyz_real
+        cluster_2d = bg.cluster_dim_start == 1
+        bg_pts, bg_depth_real = depth2pts_outside(
+            rays_o3, rays_d3, bg_z, sphere_center, sphere_radius,
+            include_xyz_real, cluster_2d,
+        )
+
+        bg_settings = settings
+        bg_results = _get_results(
+            bg,
+            bg_params,
+            bg_settings,
+            rays_d3,
+            image_indices,
+            bg_pts,
+            bg_z,
+            jnp.full((n_rays, 1), INF_DELTA),
+            get_depth=settings.get_depth,
+            get_depth_variance=settings.get_depth_variance,
+            get_bg_lambda=False,
+            flip=True,
+            depth_real=bg_depth_real,
+            xyz_fine_fn=lambda fz: depth2pts_outside(
+                rays_o3, rays_d3, fz, sphere_center, sphere_radius,
+                include_xyz_real, cluster_2d,
+            ),
+            fine_samples=(settings.fine_samples // 2)
+            if settings.fine_samples > 0
+            else 0,
+            train=train,
+            key=k_bg,
+        )
+
+    z_steps = jnp.linspace(0.0, 1.0, settings.coarse_samples)
+    z_vals = near * (1.0 - z_steps) + far * z_steps
+    z_vals = expand_and_perturb_z_vals(
+        z_vals, perturb, k_fg_perturb if train else None
+    )
+    xyz_coarse = rays_o3 + rays_d3 * z_vals[..., None]
+
+    results = _get_results(
+        fg,
+        fg_params,
+        settings,
+        rays_d3,
+        image_indices,
+        xyz_coarse,
+        z_vals,
+        last_delta,
+        get_depth=settings.get_depth,
+        get_depth_variance=settings.get_depth_variance,
+        get_bg_lambda=bg is not None,
+        flip=False,
+        depth_real=None,
+        xyz_fine_fn=lambda fz: (rays_o3 + rays_d3 * fz[..., None], None),
+        fine_samples=settings.fine_samples,
+        train=train,
+        key=k_fg,
+    )
+
+    if bg is not None:
+        types = ["fine" if settings.fine_samples > 0 else "coarse"]
+        if settings.use_cascade and settings.fine_samples > 0:
+            types.append("coarse")
+        for typ in types:
+            bg_lambda = results[f"bg_lambda_{typ}"]
+            mult = jnp.where(has_bg, bg_lambda, 0.0)
+            for comp in ("rgb", "depth"):
+                fg_key = f"{comp}_{typ}"
+                if fg_key not in results or fg_key not in bg_results:
+                    continue
+                val = results[fg_key]
+                m = mult[..., None] if val.ndim > 1 else mult
+                bg_val = bg_results[fg_key] * m
+                if settings.get_bg_fg_rgb:
+                    results[f"fg_{comp}_{typ}"] = val
+                    results[f"bg_{comp}_{typ}"] = bg_val
+                results[fg_key] = val + bg_val
+
+    bg_rays_present = (
+        jnp.any(has_bg) if has_bg is not None else jnp.asarray(False)
+    )
+    return results, bg_rays_present

@@ -1,0 +1,204 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mega_nerf_tpu.models import make_nerf, make_bg_nerf
+from mega_nerf_tpu.render import RenderSettings, render_rays
+from tests.test_models import tiny_hparams
+
+
+@dataclasses.dataclass
+class FakeConfig:
+    pos_dir_dim: int = 0
+    appearance_dim: int = 0
+
+
+@dataclasses.dataclass
+class FakeBundle:
+    """Analytic density/color field exposing the ModelBundle surface."""
+
+    rgb_fn: object
+    sigma_fn: object
+    config: FakeConfig = dataclasses.field(default_factory=FakeConfig)
+    is_mega: bool = False
+    xyz_real: bool = False
+    cluster_dim_start: int = 0
+
+    def apply(self, params, typ, xyz, dirs=None, image_indices=None,
+              sigma_noise=None, sigma_only=False):
+        sigma = self.sigma_fn(xyz)[..., None]
+        if sigma_only:
+            return sigma
+        rgb = self.rgb_fn(xyz)
+        return jnp.concatenate([rgb, sigma], axis=-1)
+
+
+def _ball_bundle(color, radius=0.5, density=1e4):
+    def sigma_fn(x):
+        return jnp.where(jnp.linalg.norm(x[..., :3], axis=-1) < radius, density, 0.0)
+
+    def rgb_fn(x):
+        return jnp.broadcast_to(jnp.asarray(color), x.shape[:-1] + (3,))
+
+    return FakeBundle(rgb_fn, sigma_fn)
+
+
+def _const_bundle(color, density):
+    return FakeBundle(
+        lambda x: jnp.broadcast_to(jnp.asarray(color), x.shape[:-1] + (3,)),
+        lambda x: jnp.full(x.shape[:-1], density),
+    )
+
+
+def _straight_rays(n, near=0.5, far=4.0):
+    """n rays from z=2 along -z toward the origin."""
+    o = jnp.tile(jnp.array([[0.0, 0.0, 2.0]]), (n, 1))
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (n, 1))
+    nearf = jnp.full((n, 1), near)
+    farf = jnp.full((n, 1), far)
+    return jnp.concatenate([o, d, nearf, farf], axis=-1)
+
+
+def test_fg_only_opaque_ball_color_and_depth():
+    fg = _ball_bundle([0.8, 0.2, 0.4])
+    settings = RenderSettings(coarse_samples=64, fine_samples=64,
+                              get_depth=True, get_depth_variance=True)
+    rays = _straight_rays(4)
+    results, present = render_rays(fg, None, None, None, rays, None, settings)
+    np.testing.assert_allclose(
+        np.asarray(results["rgb_fine"]),
+        np.broadcast_to([0.8, 0.2, 0.4], (4, 3)),
+        atol=1e-3,
+    )
+    np.testing.assert_allclose(np.asarray(results["depth_fine"]), 1.5, atol=0.05)
+    assert not bool(present)
+    assert (np.asarray(results["depth_variance_fine"]) < 0.05).all()
+
+
+def test_fg_miss_gives_black():
+    fg = _ball_bundle([1.0, 1.0, 1.0])
+    settings = RenderSettings(coarse_samples=32, fine_samples=32)
+    o = jnp.array([[0.0, 5.0, 2.0]])  # offset: misses the ball
+    d = jnp.array([[0.0, 0.0, -1.0]])
+    rays = jnp.concatenate([o, d, jnp.array([[0.5]]), jnp.array([[4.0]])], -1)
+    results, _ = render_rays(fg, None, None, None, rays, None, settings)
+    np.testing.assert_allclose(np.asarray(results["rgb_fine"]), 0.0, atol=1e-4)
+
+
+def test_transparent_fg_composites_bg_color():
+    fg = _const_bundle([1.0, 0.0, 0.0], 0.0)  # fully transparent
+    bg = _const_bundle([0.2, 0.4, 0.6], 1e4)  # opaque background
+    settings = RenderSettings(coarse_samples=32, fine_samples=32,
+                              get_bg_fg_rgb=True)
+    rays = _straight_rays(3, far=100.0)
+    results, present = render_rays(
+        fg, bg, None, None, rays, None, settings,
+        sphere_center=jnp.zeros(3), sphere_radius=jnp.ones(3) * 3.0,
+    )
+    assert bool(present)
+    np.testing.assert_allclose(
+        np.asarray(results["rgb_fine"]),
+        np.broadcast_to([0.2, 0.4, 0.6], (3, 3)),
+        atol=2e-3,
+    )
+    np.testing.assert_allclose(np.asarray(results["fg_rgb_fine"]), 0.0, atol=1e-3)
+
+
+def test_opaque_fg_blocks_bg():
+    fg = _ball_bundle([0.9, 0.9, 0.1])
+    bg = _const_bundle([0.0, 0.0, 1.0], 1e4)
+    settings = RenderSettings(coarse_samples=64, fine_samples=64)
+    rays = _straight_rays(2, far=100.0)
+    results, _ = render_rays(
+        fg, bg, None, None, rays, None, settings,
+        sphere_center=jnp.zeros(3), sphere_radius=jnp.ones(3) * 3.0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(results["rgb_fine"]),
+        np.broadcast_to([0.9, 0.9, 0.1], (2, 3)),
+        atol=2e-3,
+    )
+
+
+def test_ray_inside_sphere_no_bg_contribution():
+    # far < ellipsoid exit -> has_bg False -> bg masked out even though it
+    # would be opaque blue.
+    fg = _const_bundle([1.0, 0.0, 0.0], 0.0)
+    bg = _const_bundle([0.0, 0.0, 1.0], 1e4)
+    settings = RenderSettings(coarse_samples=32, fine_samples=32)
+    rays = _straight_rays(2, far=0.9)  # stays inside r=3 sphere
+    results, present = render_rays(
+        fg, bg, None, None, rays, None, settings,
+        sphere_center=jnp.zeros(3), sphere_radius=jnp.ones(3) * 3.0,
+    )
+    assert not bool(present)
+    np.testing.assert_allclose(np.asarray(results["rgb_fine"]), 0.0, atol=1e-3)
+
+
+def test_cascade_emits_coarse_and_fine():
+    fg = _ball_bundle([0.5, 0.5, 0.5])
+    settings = RenderSettings(coarse_samples=32, fine_samples=32, use_cascade=True)
+    rays = _straight_rays(2)
+    results, _ = render_rays(fg, None, None, None, rays, None, settings)
+    assert "rgb_coarse" in results and "rgb_fine" in results
+    np.testing.assert_allclose(
+        np.asarray(results["rgb_coarse"]), np.asarray(results["rgb_fine"]), atol=5e-3
+    )
+
+
+def test_coarse_only_mode():
+    fg = _ball_bundle([0.3, 0.3, 0.3])
+    settings = RenderSettings(coarse_samples=64, fine_samples=0, get_depth=True)
+    rays = _straight_rays(2)
+    results, _ = render_rays(fg, None, None, None, rays, None, settings)
+    assert "rgb_coarse" in results and "rgb_fine" not in results
+    np.testing.assert_allclose(np.asarray(results["rgb_coarse"]), 0.3, atol=1e-2)
+
+
+def test_real_nerf_render_jit_and_grad():
+    hp = tiny_hparams(appearance_dim=4)
+    fg = make_nerf(hp, appearance_count=3)
+    bg = make_bg_nerf(hp, appearance_count=3)
+    fg_params = fg.init(jax.random.key(0))
+    bg_params = bg.init(jax.random.key(1))
+    settings = RenderSettings(coarse_samples=16, fine_samples=16)
+    rays = _straight_rays(8, far=100.0)
+    idx = jnp.zeros(8, jnp.int32)
+    target = jnp.full((8, 3), 0.5)
+
+    def loss_fn(fp, bp, key):
+        results, present = render_rays(
+            fg, bg, fp, bp, rays, idx, settings,
+            sphere_center=jnp.zeros(3), sphere_radius=jnp.ones(3) * 3.0,
+            train=True, key=key,
+        )
+        return jnp.mean((results["rgb_fine"] - target) ** 2), present
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True))
+    (loss, present), grads = grad_fn(fg_params, bg_params, jax.random.key(2))
+    assert np.isfinite(float(loss))
+    assert bool(present)
+    flat = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # Both models must receive nonzero gradient somewhere.
+    fg_norm = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads[0]))
+    bg_norm = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads[1]))
+    assert fg_norm > 0 and bg_norm > 0
+
+
+def test_eval_deterministic_train_stochastic():
+    hp = tiny_hparams()
+    fg = make_nerf(hp, appearance_count=1)
+    fg_params = fg.init(jax.random.key(0))
+    settings = RenderSettings(coarse_samples=8, fine_samples=8)
+    rays = _straight_rays(4)
+    r1, _ = render_rays(fg, None, fg_params, None, rays, None, settings)
+    r2, _ = render_rays(fg, None, fg_params, None, rays, None, settings)
+    np.testing.assert_array_equal(np.asarray(r1["rgb_fine"]), np.asarray(r2["rgb_fine"]))
+    r3, _ = render_rays(fg, None, fg_params, None, rays, None, settings,
+                        train=True, key=jax.random.key(1))
+    r4, _ = render_rays(fg, None, fg_params, None, rays, None, settings,
+                        train=True, key=jax.random.key(2))
+    assert not np.array_equal(np.asarray(r3["rgb_fine"]), np.asarray(r4["rgb_fine"]))
