@@ -77,17 +77,18 @@ def make_train_step(
     sphere_center=None,
     sphere_radius=None,
     use_appearance: bool = True,
+    pmean_axis: Optional[str] = None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
-    """Build the (jittable) train step. Donate the state for in-place updates."""
+    """Build the (jittable) train step. Donate the state for in-place updates.
 
-    train_settings = RenderSettings(
-        coarse_samples=settings.coarse_samples,
-        fine_samples=settings.fine_samples,
-        use_cascade=settings.use_cascade,
-        perturb=settings.perturb,
-        sh_deg=settings.sh_deg,
-        get_depth=False,
-        get_depth_variance=True,
+    `pmean_axis` names a mapped mesh axis to average gradients/metrics over —
+    used when the step runs inside `shard_map` (cell-parallel training, where
+    'data' is an explicit axis rather than jit-implicit SPMD)."""
+
+    import dataclasses
+
+    train_settings = dataclasses.replace(
+        settings, get_depth=False, get_depth_variance=True, get_bg_fg_rgb=False
     )
     typ = "fine" if settings.fine_samples > 0 else "coarse"
 
@@ -113,6 +114,11 @@ def make_train_step(
         metrics["loss"] = loss
         return loss, (metrics, bg_present)
 
+    def _reduce(tree):
+        if pmean_axis is None:
+            return tree
+        return jax.lax.pmean(tree, pmean_axis)
+
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         key, step_key = jax.random.split(state.key)
 
@@ -121,6 +127,7 @@ def make_train_step(
                 lambda fp: loss_fn(fp, None, batch, step_key), has_aux=True
             )
             (_, (metrics, _)), fg_grads = grad_fn(state.fg_params)
+            fg_grads, metrics = _reduce((fg_grads, metrics))
             fg_updates, fg_opt = optimizer.update(
                 fg_grads, state.fg_opt, state.fg_params
             )
@@ -142,6 +149,13 @@ def make_train_step(
         (_, (metrics, bg_present)), (fg_grads, bg_grads) = grad_fn(
             state.fg_params, state.bg_params
         )
+        fg_grads, bg_grads, metrics = _reduce((fg_grads, bg_grads, metrics))
+        if pmean_axis is not None:
+            # A cell skips the bg step only when NO shard in its data group
+            # saw a background ray (reference semantics, runner.py:268-272).
+            bg_present = jax.lax.pmax(
+                bg_present.astype(jnp.int32), pmean_axis
+            ).astype(bool)
 
         fg_updates, fg_opt = optimizer.update(fg_grads, state.fg_opt, state.fg_params)
         fg_params = optax.apply_updates(state.fg_params, fg_updates)

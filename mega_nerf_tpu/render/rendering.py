@@ -56,6 +56,7 @@ class RenderSettings:
     use_cascade: bool = False
     perturb: float = 1.0
     sh_deg: Optional[int] = None
+    sigma_noise: bool = True  # uniform [0,1) density noise during training
     get_depth: bool = False
     get_depth_variance: bool = False
     get_bg_fg_rgb: bool = False
@@ -100,7 +101,7 @@ def _model_eval(
         idx = jnp.broadcast_to(image_indices[:, None], (n, s)).reshape(n * s)
 
     sigma_noise = None
-    if train and key is not None:
+    if train and key is not None and settings.sigma_noise:
         # Uniform [0,1) pre-activation density noise (rendering.py:294,321).
         sigma_noise = jax.random.uniform(key, (n * s, 1))
 
