@@ -1,0 +1,363 @@
+"""Disk-backed shuffled ray store: the reference's parquet chunk contract.
+
+Parity target: reference `mega_nerf/datasets/filesystem_dataset.py`. The
+on-disk format is identical (SURVEY §2.6) so chunk stores written by either
+implementation are interchangeable:
+
+- N parquet files named `{index:06d}.parquet` with BROTLI compression,
+  distributed across ≥1 scratch dirs proportionally to free space;
+- columns: `img_indices` (u16, or i32 for >65k images), `rgbs_0..2` (u8),
+  and either `pixel_indices` (i32, when every image shares W/H/intrinsics —
+  rays are regenerated at load time) or `rays_0..7` (f32);
+- a `metadata.pt` stamp per scratch dir validating images/scale_factor (and
+  near/far/center_pixels/altitude when rays are materialized).
+
+TPU-native redesign of the runtime behavior:
+
+- numpy end to end (no torch tensors in the hot path; torch only for the
+  metadata.pt stamp);
+- ray regeneration from pixel indices is one vectorized einsum over the
+  whole chunk (`ops.rays.get_rays_flat`) on the host CPU backend instead of
+  the reference's per-64k unique/inverse gather loop;
+- chunk prefetch on a background thread with the same
+  load-current/kick-next future discipline (`filesystem_dataset.py:70-77`);
+- resumable: `position` counts chunks served; `set_position` fast-forwards
+  the deterministic cycle (the reference stores the chosen path,
+  `filesystem_dataset.py:79-84`).
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from mega_nerf_tpu.data.dataset_utils import get_rgb_index_mask
+from mega_nerf_tpu.data.image_metadata import ImageMetadata
+from mega_nerf_tpu.data.memory_dataset import generate_image_rays
+from mega_nerf_tpu.data.torch_io import load_pt, save_pt
+from mega_nerf_tpu.ops.rays import get_ray_directions, get_rays_flat
+from mega_nerf_tpu.runtime.logging import main_print, main_tqdm
+
+
+class FilesystemDataset:
+    def __init__(
+        self,
+        metadata_items: List[ImageMetadata],
+        near: float,
+        far: float,
+        ray_altitude_range: Optional[Sequence[float]],
+        center_pixels: bool,
+        chunk_paths: List[Path],
+        num_chunks: int,
+        scale_factor: int,
+        disk_flush_size: int,
+        rng: Optional[np.random.Generator] = None,
+    ):
+        self._near = near
+        self._far = far
+        self._ray_altitude_range = ray_altitude_range
+        self._center_pixels = center_pixels
+        self._rng = rng if rng is not None else np.random.default_rng(0)
+        self._c2ws = np.stack([x.c2w for x in metadata_items])
+
+        intrinsics = np.stack(
+            [
+                np.concatenate([[x.W, x.H], np.asarray(x.intrinsics)])
+                for x in metadata_items
+            ]
+        )
+        if np.abs(intrinsics - intrinsics[0]).max() == 0:
+            main_print(
+                f"All intrinsics identical: W: {metadata_items[0].W} "
+                f"H: {metadata_items[0].H}, intrinsics: {metadata_items[0].intrinsics}"
+            )
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                self._directions = np.asarray(
+                    get_ray_directions(
+                        metadata_items[0].W,
+                        metadata_items[0].H,
+                        float(metadata_items[0].intrinsics[0]),
+                        float(metadata_items[0].intrinsics[1]),
+                        float(metadata_items[0].intrinsics[2]),
+                        float(metadata_items[0].intrinsics[3]),
+                        center_pixels,
+                    )
+                ).reshape(-1, 3)
+        else:
+            main_print("Differing intrinsics")
+            self._directions = None
+
+        existing = self._check_existing_paths(
+            chunk_paths, center_pixels, scale_factor, len(metadata_items)
+        )
+        if existing is not None:
+            main_print(f"Reusing {len(existing)} chunks from previous run")
+            self._parquet_paths = existing
+        else:
+            self._parquet_paths = []
+            self._write_chunks(
+                metadata_items, chunk_paths, num_chunks, scale_factor,
+                disk_flush_size,
+            )
+        self._parquet_paths.sort(key=lambda x: x.name)
+
+        self.position = 0  # chunks served so far (resume token)
+        self._executor = ThreadPoolExecutor(max_workers=1)
+        self._future = self._executor.submit(self._load_chunk_inner, 0)
+
+    # ------------------------------------------------------------------ read
+
+    def _chunk_for(self, position: int) -> Path:
+        return self._parquet_paths[position % len(self._parquet_paths)]
+
+    def set_position(self, position: int) -> None:
+        """Fast-forward the deterministic chunk cycle (checkpoint resume)."""
+        if position != self.position:
+            self._future.cancel()
+            self.position = position
+            self._future = self._executor.submit(self._load_chunk_inner, position)
+
+    def load_chunk(self) -> Dict[str, np.ndarray]:
+        """Block on the prefetched chunk, kick off the next one."""
+        chunk = self._future.result()
+        self.position += 1
+        self._future = self._executor.submit(self._load_chunk_inner, self.position)
+        return chunk
+
+    def _load_chunk_inner(self, position: int) -> Dict[str, np.ndarray]:
+        table = pq.read_table(self._chunk_for(position))
+        img_indices = table["img_indices"].to_numpy().astype(np.int32)
+        rgbs = np.stack(
+            [table[f"rgbs_{i}"].to_numpy() for i in range(3)], axis=1
+        )
+
+        if self._directions is not None:
+            pixel_indices = table["pixel_indices"].to_numpy()
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                rays = np.asarray(
+                    get_rays_flat(
+                        self._directions[pixel_indices],
+                        self._c2ws[img_indices],
+                        self._near,
+                        self._far,
+                        self._ray_altitude_range,
+                    ),
+                    dtype=np.float32,
+                )
+        else:
+            rays = np.stack(
+                [table[f"rays_{i}"].to_numpy() for i in range(8)], axis=1
+            ).astype(np.float32)
+
+        return {"rgbs": rgbs, "rays": rays, "img_indices": img_indices}
+
+    def batches(
+        self,
+        batch_size: int,
+        rng: np.random.Generator,
+        drop_remainder: bool = True,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Load the next chunk and yield its shuffled minibatches."""
+        chunk = self.load_chunk()
+        n = chunk["rgbs"].shape[0]
+        order = rng.permutation(n)
+        stop = (n // batch_size) * batch_size if drop_remainder else n
+        for start in range(0, stop, batch_size):
+            sel = order[start : start + batch_size]
+            yield {
+                "rgbs": chunk["rgbs"][sel].astype(np.float32) / 255.0,
+                "rays": chunk["rays"][sel],
+                "img_indices": chunk["img_indices"][sel],
+            }
+
+    # ----------------------------------------------------------------- write
+
+    def _write_chunks(
+        self,
+        metadata_items: List[ImageMetadata],
+        chunk_paths: List[Path],
+        num_chunks: int,
+        scale_factor: int,
+        disk_flush_size: int,
+    ) -> None:
+        path_frees = []
+        total_free = 0
+        for chunk_path in chunk_paths:
+            chunk_path.mkdir(parents=True)
+            _, _, free = shutil.disk_usage(chunk_path)
+            total_free += free
+            path_frees.append(free)
+
+        max_index = max(x.image_index for x in metadata_items)
+        if max_index <= np.iinfo(np.uint16).max:
+            img_dtype = np.uint16
+        else:
+            assert max_index <= np.iinfo(np.int32).max
+            img_dtype = np.int32
+        main_print(f"Max image index is {max_index}: using dtype: {img_dtype}")
+
+        writers = []
+        index = 0
+        for chunk_path, path_free in zip(chunk_paths, path_frees):
+            allocated = int(path_free / total_free * num_chunks)
+            # Never allocate zero chunks to a usable path (and guarantee at
+            # least num_chunks total for the single-path common case).
+            allocated = max(allocated, 1)
+            main_print(f"Allocating {allocated} chunks to dataset path {chunk_path}")
+            for _ in range(allocated):
+                parquet_path = chunk_path / f"{index:06d}.parquet"
+                self._parquet_paths.append(parquet_path)
+                fields = [("img_indices", pa.from_numpy_dtype(img_dtype))]
+                fields += [(f"rgbs_{i}", pa.uint8()) for i in range(3)]
+                if self._directions is not None:
+                    fields.append(("pixel_indices", pa.int32()))
+                else:
+                    fields += [(f"rays_{i}", pa.float32()) for i in range(8)]
+                writers.append(
+                    pq.ParquetWriter(
+                        parquet_path, pa.schema(fields), compression="BROTLI"
+                    )
+                )
+                index += 1
+        main_print(f"{index} chunks allocated")
+
+        rgbs_buf: List[np.ndarray] = []
+        rays_buf: List[np.ndarray] = []
+        idx_buf: List[np.ndarray] = []
+        in_memory = 0
+
+        if self._directions is not None:
+            all_pixel_indices = np.arange(self._directions.shape[0], dtype=np.int32)
+
+        with ThreadPoolExecutor(max_workers=min(8, len(writers))) as executor:
+            pending = []
+            for item in main_tqdm(metadata_items):
+                data = get_rgb_index_mask(item, self._rng)
+                if data is None:
+                    continue
+                image_rgbs, img_indices, keep_mask = data
+                rgbs_buf.append(image_rgbs)
+                idx_buf.append(img_indices)
+                in_memory += len(image_rgbs)
+
+                if self._directions is not None:
+                    pix = all_pixel_indices
+                    if keep_mask is not None:
+                        pix = pix[keep_mask]
+                    rays_buf.append(pix)
+                else:
+                    image_rays = generate_image_rays(
+                        item, self._near, self._far, self._ray_altitude_range,
+                        self._center_pixels,
+                    )
+                    if keep_mask is not None:
+                        image_rays = image_rays[keep_mask]
+                    rays_buf.append(image_rays)
+
+                if in_memory >= disk_flush_size:
+                    for f in pending:
+                        f.result()
+                    pending = self._flush(
+                        executor, rgbs_buf, rays_buf, idx_buf, writers, img_dtype
+                    )
+                    rgbs_buf, rays_buf, idx_buf, in_memory = [], [], [], 0
+
+            for f in pending:
+                f.result()
+            if in_memory > 0:
+                for f in self._flush(
+                    executor, rgbs_buf, rays_buf, idx_buf, writers, img_dtype
+                ):
+                    f.result()
+
+        for chunk_path in chunk_paths:
+            stamp = {"images": len(metadata_items), "scale_factor": scale_factor}
+            if self._directions is None:
+                stamp.update(
+                    near=self._near,
+                    far=self._far,
+                    center_pixels=self._center_pixels,
+                    ray_altitude_range=(
+                        list(self._ray_altitude_range)
+                        if self._ray_altitude_range is not None
+                        else None
+                    ),
+                )
+            save_pt(stamp, chunk_path / "metadata.pt")
+
+        for w in writers:
+            w.close()
+        main_print("Finished writing chunks to dataset paths")
+
+    def _flush(self, executor, rgbs_buf, rays_buf, idx_buf, writers, img_dtype):
+        rgbs = np.concatenate(rgbs_buf)
+        rays = np.concatenate(rays_buf)
+        indices = np.concatenate(idx_buf)
+        perm = self._rng.permutation(rgbs.shape[0])
+        rgbs, rays, indices = rgbs[perm], rays[perm], indices[perm]
+
+        num_chunks = len(writers)
+        chunk_size = math.ceil(rgbs.shape[0] / num_chunks)
+
+        def append(i: int) -> None:
+            sl = slice(i * chunk_size, (i + 1) * chunk_size)
+            columns = {"img_indices": indices[sl].astype(img_dtype)}
+            for c in range(3):
+                columns[f"rgbs_{c}"] = rgbs[sl, c]
+            if self._directions is not None:
+                columns["pixel_indices"] = rays[sl].astype(np.int32)
+            else:
+                for c in range(8):
+                    columns[f"rays_{c}"] = rays[sl, c].astype(np.float32)
+            writers[i].write_table(pa.table(columns))
+
+        return [executor.submit(append, i) for i in range(num_chunks)]
+
+    # ------------------------------------------------------------------ misc
+
+    def _check_existing_paths(
+        self,
+        chunk_paths: List[Path],
+        center_pixels: bool,
+        scale_factor: int,
+        images: int,
+    ) -> Optional[List[Path]]:
+        parquet_files: List[Path] = []
+        num_exist = 0
+        for chunk_path in chunk_paths:
+            if chunk_path.exists():
+                assert (chunk_path / "metadata.pt").exists(), (
+                    f"{chunk_path} has no metadata.pt stamp (incomplete write?)"
+                )
+                stamp = load_pt(chunk_path / "metadata.pt")
+                assert stamp["images"] == images
+                assert stamp["scale_factor"] == scale_factor
+                if self._directions is None:
+                    assert stamp["near"] == self._near
+                    assert stamp["far"] == self._far
+                    assert stamp["center_pixels"] == center_pixels
+                    if self._ray_altitude_range is not None:
+                        assert np.allclose(
+                            np.asarray(stamp["ray_altitude_range"], np.float32),
+                            np.asarray(self._ray_altitude_range, np.float32),
+                        )
+                    else:
+                        assert stamp["ray_altitude_range"] is None
+                for child in chunk_path.iterdir():
+                    if child.name != "metadata.pt":
+                        parquet_files.append(child)
+                num_exist += 1
+        if num_exist > 0:
+            assert num_exist == len(chunk_paths)
+            return parquet_files
+        return None

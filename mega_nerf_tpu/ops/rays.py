@@ -98,3 +98,35 @@ def get_rays(
     return jnp.concatenate(
         [rays_o, rays_d, near_b[..., None], far_b[..., None]], axis=-1
     )
+
+
+def get_rays_flat(
+    directions: jnp.ndarray,
+    c2ws: jnp.ndarray,
+    near: float,
+    far: float,
+    ray_altitude_range: Optional[Sequence[float]] = None,
+) -> jnp.ndarray:
+    """Ray records for a flat list of (direction, pose) pairs.
+
+    directions: (N, 3) camera-frame unit dirs; c2ws: (N, 3, 4) per-ray poses.
+    Used by the chunk loader to regenerate rays from stored pixel indices
+    (the reference's shared-intrinsics path, `filesystem_dataset.py:105-126`,
+    but without the unique/inverse gather dance — one einsum per chunk).
+    """
+    rays_d = jnp.einsum("nij,nj->ni", c2ws[:, :, :3], directions)
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rays_o = c2ws[:, :, 3]
+
+    near_b = jnp.full(rays_o.shape[:-1], near, dtype=rays_o.dtype)
+    far_b = jnp.full(rays_o.shape[:-1], far, dtype=rays_o.dtype)
+    if ray_altitude_range is not None:
+        near_b = _plane_bound(rays_o, rays_d, ray_altitude_range[0], near_b)
+        near_b = jnp.maximum(near_b, near)
+        far_b = _plane_bound(rays_o, rays_d, ray_altitude_range[1], far_b)
+        far_b = jnp.minimum(far_b, far)
+        far_b = jnp.maximum(near_b, far_b)
+
+    return jnp.concatenate(
+        [rays_o, rays_d, near_b[..., None], far_b[..., None]], axis=-1
+    )

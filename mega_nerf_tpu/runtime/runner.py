@@ -205,6 +205,9 @@ class Runner:
         )
 
         dataset = self._make_dataset()
+        if hasattr(dataset, "set_position") and start_epoch > 0:
+            # Filesystem dataset: epoch == chunk position in the cycle.
+            dataset.set_position(start_epoch)
         state = replicate(self.mesh, state)
 
         from tqdm import tqdm as _tqdm

@@ -91,3 +91,23 @@ def test_eval_entry(trained, tmp_path):
     runner.eval()
     metrics_txt = tmp_path / "eval_exp" / "0" / "metrics.txt"
     assert "val/psnr" in metrics_txt.read_text()
+
+
+def test_filesystem_dataset_training(tmp_path):
+    """Short end-to-end with the parquet chunk store instead of memory."""
+    from tests.synthetic import make_synthetic_dataset, tiny_train_hparams
+
+    ds = make_synthetic_dataset(tmp_path / "ds", n_train=3, n_val=1, hw=(16, 16))
+    hp = tiny_train_hparams(
+        ds, tmp_path / "exp",
+        dataset_type="filesystem",
+        chunk_paths=[str(tmp_path / "chunks")],
+        num_chunks=3,
+        train_iterations=30,
+        ckpt_interval=1000,
+    )
+    runner = Runner(hp)
+    runner.train()
+    assert int(runner.final_state.step) == 30
+    assert (tmp_path / "exp" / "0" / "metrics.txt").exists()
+    assert len(list((tmp_path / "chunks").glob("*.parquet"))) == 3
