@@ -45,6 +45,7 @@ def nerf_config_from_hparams(
         xyz_dim=xyz_dim,
         shifted_softplus=getattr(hparams, "shifted_softplus", True),
         compute_dtype=getattr(hparams, "compute_dtype", "float32"),
+        ref_packed_dirs=getattr(hparams, "ref_packed_dirs", False),
     )
 
 
@@ -64,6 +65,7 @@ class ModelBundle:
     boundary_margin: float = 1.0
     cluster_dim_start: int = 0
     xyz_real: bool = False  # input = [routing_xyz(3) | model_input(xyz_dim)]
+    pretrained_params: Optional[Any] = None  # set by container loading
 
     @property
     def is_mega(self) -> bool:
@@ -161,14 +163,38 @@ def _make_bundle(
     return ModelBundle(module=NeRF(cfg), config=cfg)
 
 
+def _container_bundles(hparams: Namespace):
+    """Load (and cache on hparams) the merged-container bundles
+    (reference `model_utils.py:22-29`)."""
+    cached = getattr(hparams, "_container_bundles", None)
+    if cached is None:
+        from mega_nerf_tpu.models.container import (
+            container_to_bundles,
+            load_container,
+        )
+
+        cached = container_to_bundles(
+            load_container(hparams.container_path), hparams
+        )
+        hparams._container_bundles = cached
+    return cached
+
+
 def make_nerf(hparams: Namespace, appearance_count: int) -> ModelBundle:
     """Foreground model (reference `model_utils.py:12-13`)."""
+    if getattr(hparams, "container_path", None) is not None:
+        return _container_bundles(hparams)[0]
     return _make_bundle(hparams, appearance_count, getattr(hparams, "layer_dim", 256), 3)
 
 
 def make_bg_nerf(hparams: Namespace, appearance_count: int) -> ModelBundle:
     """Background model — xyz_dim 4 for the NeRF++ inverted-sphere coordinate
     (reference `model_utils.py:16-17`)."""
+    if getattr(hparams, "container_path", None) is not None:
+        bg = _container_bundles(hparams)[1]
+        if bg is None:
+            raise ValueError("container has no background submodules")
+        return bg
     return _make_bundle(
         hparams, appearance_count, getattr(hparams, "bg_layer_dim", 256), 4
     )

@@ -60,6 +60,13 @@ class NeRFConfig:
     xyz_dim: int = 3
     shifted_softplus: bool = True
     compute_dtype: str = "float32"  # "bfloat16" on TPU for MXU throughput
+    # Replicate the reference's packed-input quirk: NeRF.forward reads view
+    # dirs at a hardcoded x[:, -4:-1] (reference nerf.py:146), which for
+    # appearance-less models is actually [xyz_last, dir_x, dir_y] (dir_z is
+    # dropped). Models the reference trained in that regime (nerf/npp/
+    # no-embed families) need this on for exact parity; our own models use
+    # proper directions.
+    ref_packed_dirs: bool = False
 
     def __post_init__(self):
         if self.rgb_dim > 3:
@@ -139,7 +146,15 @@ class NeRF(nn.Module):
             branch_in = [final]
             if cfg.pos_dir_dim > 0:
                 assert dirs is not None, "view-dependent model needs directions"
-                branch_in.append(frequency_encode(dirs.astype(dtype), cfg.pos_dir_dim))
+                if cfg.ref_packed_dirs and cfg.appearance_dim == 0:
+                    dir_in = jnp.concatenate(
+                        [xyz[..., -1:], dirs[..., :2]], axis=-1
+                    )
+                else:
+                    dir_in = dirs
+                branch_in.append(
+                    frequency_encode(dir_in.astype(dtype), cfg.pos_dir_dim)
+                )
             if appearance is not None and not cfg.affine_appearance:
                 branch_in.append(appearance)
             branch = nn.relu(

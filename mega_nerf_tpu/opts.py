@@ -103,6 +103,10 @@ def get_opts_base() -> argparse.ArgumentParser:
     parser.add_argument('--random_seed', type=int, default=42)
 
     # --- TPU-native flags (new) ---
+    parser.add_argument('--ref_packed_dirs', default=False, action='store_true',
+                        help='replicate the reference packed-input direction '
+                             'quirk for parity with its appearance-less '
+                             'pretrained models (see NeRFConfig.ref_packed_dirs)')
     parser.add_argument('--compute_dtype', type=str, default='bfloat16',
                         choices=['bfloat16', 'float32'],
                         help='MXU matmul precision (params stay float32)')

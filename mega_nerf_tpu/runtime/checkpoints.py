@@ -51,6 +51,20 @@ def load_checkpoint(path, array_template: Any) -> Tuple[Any, Dict[str, Any]]:
     return array_state, pickle.loads(aux)
 
 
+def load_checkpoint_raw(path) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Restore (array_state_as_nested_dict, aux_state) WITHOUT a pytree
+    template — shapes/dtypes come from the msgpack payload itself. Dataclass
+    pytrees (e.g. TrainState) come back as plain nested dicts."""
+    path = Path(path)
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        assert magic == _MAGIC, f"not a mega_nerf_tpu checkpoint: {path}"
+        n_packed, n_aux = struct.unpack("<QQ", f.read(16))
+        packed = f.read(n_packed)
+        aux = f.read(n_aux)
+    return serialization.msgpack_restore(packed), pickle.loads(aux)
+
+
 def load_checkpoint_aux(path) -> Dict[str, Any]:
     """Read only the aux (python) state without needing an array template."""
     path = Path(path)

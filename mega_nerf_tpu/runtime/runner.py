@@ -135,7 +135,13 @@ class Runner:
         self.sphere_center = None
         self.sphere_radius = None
 
-        if hparams.bg_nerf:
+        container_has_bg = True
+        if getattr(hparams, "container_path", None) is not None:
+            from mega_nerf_tpu.models.factory import _container_bundles
+
+            container_has_bg = _container_bundles(hparams)[1] is not None
+
+        if hparams.bg_nerf and container_has_bg:
             self.bg = make_bg_nerf(hparams, len(self.train_items))
             if hparams.ellipse_bounds:
                 # Ellipsoid fitted over cameras + their copies pinned to the
@@ -298,6 +304,14 @@ class Runner:
         state = make_train_state(self.fg, self.bg, optimizer, self.init_key)
         if hp.ckpt_path is not None:
             state, _ = ckpt_io.load_checkpoint(hp.ckpt_path, state)
+        if self.fg.pretrained_params is not None:
+            # Merged-container eval: weights come from the container itself.
+            state = state.replace(
+                fg_params=self.fg.pretrained_params,
+                bg_params=(
+                    self.bg.pretrained_params if self.bg is not None else None
+                ),
+            )
         val_metrics = self._run_validation(state, 0)
         self._write_final_metrics(val_metrics)
 
