@@ -297,9 +297,9 @@ class Runner:
             self._write_final_metrics(val_metrics)
         self.final_state = jax.device_get(state)
 
-    def eval(self) -> None:
+    def make_eval_state(self) -> TrainState:
+        """State with weights from --ckpt_path or --container_path."""
         hp = self.hparams
-        self._setup_experiment_dir()
         optimizer = make_optimizer(hp.lr, hp.lr_decay_factor, hp.train_iterations)
         state = make_train_state(self.fg, self.bg, optimizer, self.init_key)
         if hp.ckpt_path is not None:
@@ -312,7 +312,11 @@ class Runner:
                     self.bg.pretrained_params if self.bg is not None else None
                 ),
             )
-        val_metrics = self._run_validation(state, 0)
+        return state
+
+    def eval(self) -> None:
+        self._setup_experiment_dir()
+        val_metrics = self._run_validation(self.make_eval_state(), 0)
         self._write_final_metrics(val_metrics)
 
     # ------------------------------------------------------------- validation

@@ -1,0 +1,245 @@
+"""Bake a trained model into a sparse voxel octree for the dynamic viewer.
+
+Parity target: reference `scripts/create_octree.py` (PlenOctree-style
+extraction): auto-scale the bounds by probing sigma on a coarse grid,
+evaluate sigma at 2^(d+1)^3 resolution, mask voxels by sigma threshold or by
+max camera-visibility weight (our jax `grid_weight_render_max` replaces the
+svox CUDA kernel), refine the tree at surviving voxels, average
+`samples_per_cell` model queries per leaf (fixed +x view dir, fixed
+appearance index), fill internal nodes, and save the svox-layout `.npz`.
+"""
+
+from __future__ import annotations
+
+import sys
+from argparse import Namespace
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+from mega_nerf_tpu.data.torch_io import load_coordinates, load_pt
+from mega_nerf_tpu.models.factory import make_nerf
+from mega_nerf_tpu.octree import N3Tree, grid_weight_render_max
+from mega_nerf_tpu.opts import get_opts_base, parse_opts
+from mega_nerf_tpu.runtime.logging import main_print, main_tqdm
+
+
+def _get_extraction_opts() -> Namespace:
+    parser = get_opts_base()
+    parser.add_argument('--dataset_path', type=str, required=True)
+    parser.add_argument('--output', type=str, required=True)
+    parser.add_argument('--alpha_thresh', type=float, default=0.01)
+    parser.add_argument('--scale_alpha_thresh', type=float, default=0.01)
+    parser.add_argument('--tree_branch_n', type=int, default=2)
+    parser.add_argument('--init_grid_depth', type=int, default=8)
+    parser.add_argument('--samples_per_cell', type=int, default=256)
+    parser.add_argument('--masking_mode', type=str, default='weight',
+                        choices=['sigma', 'weight'])
+    parser.add_argument('--weight_thresh', type=float, default=0.001)
+    parser.add_argument('--embedding_index', type=int, default=0)
+    parser.add_argument('--camera_params', type=int, nargs='+',
+                        default=[800, 800, 400, 400, 400, 400])
+    return parse_opts(parser, known_only=True)
+
+
+def _make_sigma_fn(bundle, params, chunk: int):
+    apply = jax.jit(
+        lambda p, xyz: bundle.apply(p, "fine", xyz, sigma_only=True)
+    )
+
+    def sigma_at(points: np.ndarray) -> np.ndarray:
+        out = []
+        for i in range(0, points.shape[0], chunk):
+            out.append(np.asarray(apply(params, jnp.asarray(points[i:i + chunk]))))
+        return np.concatenate(out)[:, 0]
+
+    return sigma_at
+
+
+def _grid_points(reso: int, offset: np.ndarray, scale: np.ndarray) -> np.ndarray:
+    """Cell-center world points of a reso^3 grid over the tree volume
+    (reference `create_octree.py:71-76`, same meshgrid('ij') order)."""
+    arr = (np.arange(reso, dtype=np.float32) + 0.5) / reso
+    axes = [(arr - offset[i]) / scale[i] for i in range(3)]
+    g = np.stack(np.meshgrid(*axes, indexing="ij"))
+    return g.reshape(3, -1).T
+
+
+def auto_scale(hparams, sigma_at, center, radius):
+    """Shrink the AABB to the sigma-occupied region
+    (reference `create_octree.py:61-105`)."""
+    main_print("Step 0: Auto scale")
+    reso = 2 ** hparams.init_grid_depth
+    radius = np.asarray(radius, np.float32)
+    center = np.asarray(center, np.float32)
+    scale = 0.5 / radius
+    offset = 0.5 * (1.0 - center / radius)
+
+    grid = _grid_points(reso, offset, scale)
+    approx_delta = 2.0 / reso
+    sigma_thresh = -np.log(1.0 - hparams.scale_alpha_thresh) / approx_delta
+
+    sigmas = sigma_at(grid)
+    occupied = grid[sigmas >= sigma_thresh]
+    if occupied.shape[0] == 0:
+        main_print("WARNING: no occupied cells during auto-scale; keeping bounds")
+        return center.tolist(), radius.tolist()
+    lc = occupied.min(axis=0) - 0.5 / reso
+    uc = occupied.max(axis=0) + 0.5 / reso
+    return ((lc + uc) * 0.5).tolist(), ((uc - lc) * 0.5).tolist()
+
+
+def step1_refine(hparams, sigma_at, tree: N3Tree, poses: np.ndarray) -> None:
+    """Grid eval + visibility mask + refinement
+    (reference `create_octree.py:139-186`)."""
+    main_print("Step 1: Grid eval")
+    reso = 2 ** (hparams.init_grid_depth + 1)
+    grid = _grid_points(reso, tree.offset, tree.invradius)
+
+    approx_delta = 2.0 / reso
+    sigma_thresh = -np.log(1.0 - hparams.alpha_thresh) / approx_delta
+    sigmas = sigma_at(grid)
+
+    if hparams.masking_mode == "sigma":
+        mask = sigmas >= sigma_thresh
+    elif hparams.masking_mode == "weight":
+        main_print("Calculating grid weights")
+        weights = grid_weight_render_max(
+            sigmas, poses, hparams.camera_params, tree.offset, tree.invradius,
+            reso,
+        )
+        mask = weights.reshape(-1) >= hparams.weight_thresh
+    else:
+        raise Exception(f"Unsupported masking mode: {hparams.masking_mode}")
+
+    grid = grid[mask]
+    main_print(f"Building octree over {grid.shape[0]} occupied voxels")
+    for _ in range(hparams.init_grid_depth):
+        if tree.refine_at_points(grid) == 0:
+            break
+    main_print(repr(tree))
+
+
+def step2_average(hparams, bundle, params, tree: N3Tree) -> None:
+    """Average model queries per leaf (reference `create_octree.py:189-209`)."""
+    main_print(f"Step 2: AA with {hparams.samples_per_cell} samples per cell")
+    rng = np.random.default_rng(hparams.random_seed)
+    leaves = tree.leaf_indices()
+    chunk = max(1, hparams.model_chunk_size // hparams.samples_per_cell)
+
+    @jax.jit
+    def eval_rgba(p, pts, dirs, idx):
+        out = bundle.apply(
+            p, "fine", pts,
+            dirs if bundle.config.pos_dir_dim > 0 else None,
+            idx if bundle.config.appearance_dim > 0 else None,
+        )
+        return out
+
+    for i in main_tqdm(range(0, leaves.shape[0], chunk)):
+        batch_leaves = leaves[i : i + chunk]
+        pts = tree.sample_leaves(batch_leaves, hparams.samples_per_cell, rng)
+        flat = pts.reshape(-1, 3)
+        dirs = np.zeros_like(flat)
+        dirs[:, 0] = 1.0  # fixed +x view dir (reference create_octree.py:198-199)
+        idx = np.full(flat.shape[0], hparams.embedding_index, np.int32)
+
+        out = np.asarray(
+            eval_rgba(params, jnp.asarray(flat), jnp.asarray(dirs),
+                      jnp.asarray(idx))
+        )
+        # svox/PlenOctree layout: [rgb-or-SH..., sigma] with density LAST —
+        # exactly the model's output order (reference create_octree.py:206-209
+        # writes it through unchanged).
+        values = out.reshape(
+            batch_leaves.shape[0], hparams.samples_per_cell, -1
+        ).mean(axis=1)
+        tree.set_leaf_data(batch_leaves, values)
+
+
+def main(hparams: Namespace) -> None:
+    assert hparams.ckpt_path is not None or hparams.container_path is not None
+    assert hparams.ray_altitude_range is not None
+
+    dataset_path = Path(hparams.dataset_path)
+    candidates = sorted((dataset_path / "train" / "metadata").iterdir())
+    train_paths = [
+        candidates[i] for i in range(0, len(candidates), hparams.train_every)
+    ]
+    metadata_paths = train_paths + list(
+        (dataset_path / "val" / "metadata").iterdir()
+    )
+    poses = np.stack(
+        [np.asarray(load_pt(p)["c2w"], np.float32) for p in metadata_paths]
+    )
+
+    bundle = make_nerf(hparams, poses.shape[0])
+    params = bundle.pretrained_params
+    if params is None:
+        from mega_nerf_tpu.parallel.train_step import (
+            make_optimizer,
+            make_train_state,
+        )
+        from mega_nerf_tpu.runtime import checkpoints as ckpt_io
+
+        opt = make_optimizer(hparams.lr, hparams.lr_decay_factor,
+                             hparams.train_iterations)
+        template = make_train_state(bundle, None, opt, jax.random.PRNGKey(0))
+        state, _ = ckpt_io.load_checkpoint(hparams.ckpt_path, template)
+        params = state.fg_params
+
+    coords = load_coordinates(dataset_path)
+    origin_drb = coords["origin_drb"]
+    pose_scale_factor = coords["pose_scale_factor"]
+
+    max_values = poses[:, :3, 3].max(axis=0)
+    min_values = poses[:, :3, 3].min(axis=0)
+    ray_altitude_range = [
+        (x - origin_drb[0]) / pose_scale_factor
+        for x in hparams.ray_altitude_range
+    ]
+    min_values[0] = ray_altitude_range[0]
+    max_values[0] = ray_altitude_range[1]
+    main_print(f"Min and Max values: {min_values} {max_values}")
+
+    center = ((max_values + min_values) * 0.5).tolist()
+    radius = ((max_values - min_values) * 0.5).tolist()
+    main_print(f"Center and radius before autoscale: {center}, {radius}")
+
+    sigma_at = _make_sigma_fn(bundle, params, hparams.model_chunk_size)
+    center, radius = auto_scale(hparams, sigma_at, center, radius)
+    main_print(f"Center and radius after autoscale: {center}, {radius}")
+
+    sh_deg = hparams.sh_deg if hparams.sh_deg is not None else 0
+    data_dim = 1 + 3 * (sh_deg + 1) ** 2
+    data_format = f"SH{(sh_deg + 1) ** 2}" if sh_deg > 0 else "RGBA"
+    main_print(f"Data dim is {data_dim}")
+
+    tree = N3Tree(
+        N=hparams.tree_branch_n,
+        data_dim=data_dim,
+        depth_limit=hparams.init_grid_depth,
+        init_reserve=500000,
+        radius=radius,
+        center=center,
+        data_format=data_format,
+    )
+
+    step1_refine(hparams, sigma_at, tree, poses)
+    step2_average(hparams, bundle, params, tree)
+
+    tree.shrink_to_fit()
+    main_print("Filling in internal nodes")
+    tree.fill_internal()
+    main_print(repr(tree))
+    main_print(f"Saving tree to: {hparams.output}")
+    tree.save(hparams.output, compress=False)
+
+
+if __name__ == '__main__':
+    main(_get_extraction_opts())

@@ -115,3 +115,42 @@ def test_submodule_training_and_merge(workflow, tmp_path):
     )
     runner2 = Runner(eval_hp2)
     assert runner2.fg.is_mega
+
+    # --- 5. flythrough rendering from the merged container ---
+    import scripts.render_images as ri
+
+    flythrough = tmp_path / "flythrough"
+    flythrough.mkdir()
+    meta = load_pt(ds / "val" / "metadata" / "000005.pt")
+    c2w = np.asarray(meta["c2w"]).reshape(-1)
+    (flythrough / "poses.txt").write_text(
+        "\n".join(" ".join(str(v) for v in c2w) for _ in range(2)) + "\n"
+    )
+    fx, fy, cx, cy = np.asarray(meta["intrinsics"])
+    (flythrough / "intrinsics.txt").write_text(
+        f"20 20 {fx} {fy} {cx} {cy}\n" * 2
+    )
+    (flythrough / "embeddings.txt").write_text("0\n1\n")
+
+    render_hp = tiny_train_hparams(
+        ds, tmp_path / "unused2",
+        ray_altitude_range=[-10.0, 10.0],
+        container_path=str(root / "merged.pt"),
+        val_scale_factor=1,
+    )
+    render_hp.input = str(flythrough)
+    render_hp.output = str(tmp_path / "frames")
+    render_hp.dataset_path = str(ds)
+    render_hp.centroids_path = str(root / "masks" / "params.pt")
+    render_hp.save_depth_npz = True
+    render_hp.resume = False
+    ri.main(render_hp)
+
+    frames = tmp_path / "frames"
+    for sub in ("rgbs", "depths", "cells"):
+        assert len(list((frames / sub).glob("*.jpg"))) == 2, sub
+    depth_npz = np.load(frames / "depths_npz" / "000000.npy")
+    assert depth_npz.shape == (20, 20) and np.isfinite(depth_npz).all()
+    # Resume skips everything.
+    render_hp.resume = True
+    ri.main(render_hp)
