@@ -103,6 +103,9 @@ def get_opts_base() -> argparse.ArgumentParser:
     parser.add_argument('--random_seed', type=int, default=42)
 
     # --- TPU-native flags (new) ---
+    parser.add_argument('--profile_steps', type=int, default=0,
+                        help='capture a jax.profiler trace of this many train '
+                             'steps (starting at step 10) into {exp}/profile')
     parser.add_argument('--ref_packed_dirs', default=False, action='store_true',
                         help='replicate the reference packed-input direction '
                              'quirk for parity with its appearance-less '

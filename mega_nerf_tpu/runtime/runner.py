@@ -225,6 +225,13 @@ class Runner:
         epoch = start_epoch
         dataset_index = -1
         last_metrics = None
+        # Profiling/throughput instrumentation (SURVEY §5.1: the reference
+        # has none; we trace via jax.profiler and log rays/sec).
+        profile_steps = getattr(hp, "profile_steps", 0)
+        profile_start = train_iterations + 10
+        profiling = False
+        throughput_t0 = None
+        throughput_step0 = train_iterations
         while train_iterations < hp.train_iterations:
             epoch_rng = np.random.default_rng((hp.random_seed, epoch))
             for dataset_index, batch in enumerate(
@@ -245,6 +252,22 @@ class Runner:
                 last_metrics = metrics
                 train_iterations += 1
 
+                if profile_steps > 0 and self.is_master:
+                    if train_iterations == profile_start:
+                        jax.profiler.start_trace(
+                            str(self.experiment_path / "profile")
+                        )
+                        profiling = True
+                    elif profiling and train_iterations >= (
+                        profile_start + profile_steps
+                    ):
+                        jax.block_until_ready(metrics)
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        main_print(
+                            f"Wrote profiler trace to {self.experiment_path}/profile"
+                        )
+
                 if train_iterations % METRICS_CHECK_INTERVAL == 0 or (
                     train_iterations >= hp.train_iterations
                 ):
@@ -256,6 +279,20 @@ class Runner:
                             raise Exception(
                                 f"Train metrics not finite: {metrics_host}"
                             )
+                    import time as _time
+
+                    now = _time.perf_counter()
+                    if throughput_t0 is not None and self.writer is not None:
+                        rays_per_sec = (
+                            (train_iterations - throughput_step0)
+                            * hp.batch_size / (now - throughput_t0)
+                        )
+                        self.writer.add_scalar(
+                            "train/rays_per_sec", rays_per_sec, train_iterations
+                        )
+                    throughput_t0 = now
+                    throughput_step0 = train_iterations
+
                     if self.writer is not None:
                         for k, v in metrics_host.items():
                             self.writer.add_scalar(f"train/{k}", v, train_iterations)
