@@ -300,11 +300,16 @@ class FilesystemDataset:
         main_print("Finished writing chunks to dataset paths")
 
     def _flush(self, executor, rgbs_buf, rays_buf, idx_buf, writers, img_dtype):
+        from mega_nerf_tpu.data.native_packer import shuffle_gather
+
         rgbs = np.concatenate(rgbs_buf)
         rays = np.concatenate(rays_buf)
         indices = np.concatenate(idx_buf)
         perm = self._rng.permutation(rgbs.shape[0])
-        rgbs, rays, indices = rgbs[perm], rays[perm], indices[perm]
+        # Multithreaded native gather (native/packer.cpp) with numpy fallback.
+        rgbs = shuffle_gather(rgbs, perm)
+        rays = shuffle_gather(rays, perm)
+        indices = shuffle_gather(indices, perm)
 
         num_chunks = len(writers)
         chunk_size = math.ceil(rgbs.shape[0] / num_chunks)
