@@ -113,6 +113,16 @@ def get_opts_base() -> argparse.ArgumentParser:
     parser.add_argument('--compute_dtype', type=str, default='bfloat16',
                         choices=['bfloat16', 'float32'],
                         help='MXU matmul precision (params stay float32)')
+    parser.add_argument('--remat', default=False, action='store_true',
+                        help='rematerialize MLP activations in the backward '
+                             'pass (jax.checkpoint): ~33%% more FLOPs for '
+                             '~10x less activation HBM — enables bigger '
+                             'batches on HBM-bound chips')
+    parser.add_argument('--no_pallas', dest='use_pallas', default='auto',
+                        action='store_false',
+                        help='disable the fused Pallas MLP eval kernel '
+                             '(default "auto": on for TPU render/eval paths, '
+                             'measured 6x over XLA on v5e)')
     parser.add_argument('--data_axis', type=int, default=None,
                         help='data-parallel mesh size (default: all devices)')
     parser.add_argument('--cell_axis', type=int, default=1,

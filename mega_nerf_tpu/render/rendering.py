@@ -57,6 +57,17 @@ class RenderSettings:
     perturb: float = 1.0
     sh_deg: Optional[int] = None
     sigma_noise: bool = True  # uniform [0,1) density noise during training
+    # Rematerialize MLP activations in the backward pass (jax.checkpoint):
+    # trades ~33% more FLOPs for ~10x less activation HBM traffic. Useful for
+    # big batches / long sample counts on HBM-bandwidth-bound chips.
+    remat: bool = False
+    # Use the fused Pallas MLP kernel for inference-time model evaluation
+    # (render/eval paths; training and mega/cascade bundles fall back to the
+    # XLA path automatically). "auto" = only on TPU backends (measured 6x
+    # over the XLA eval path on v5e); True = always, even on CPU where the
+    # kernel runs in slow interpret mode (testing); False = never.
+    # See render/pallas_mlp.py.
+    use_pallas: Any = "auto"
     get_depth: bool = False
     get_depth_variance: bool = False
     get_bg_fg_rgb: bool = False
@@ -69,9 +80,37 @@ class RenderSettings:
             use_cascade=getattr(hparams, "use_cascade", False),
             perturb=getattr(hparams, "perturb", 1.0),
             sh_deg=getattr(hparams, "sh_deg", None),
+            remat=getattr(hparams, "remat", False),
+            use_pallas=getattr(hparams, "use_pallas", "auto"),
         )
         kw.update(overrides)
         return cls(**kw)
+
+
+def _pallas_eval(bundle, params, flat_xyz, dirs, idx, block: int = 1024):
+    """Inference via the fused Pallas MLP kernel (render/pallas_mlp.py),
+    padding the point count to a block multiple."""
+    from mega_nerf_tpu.render.pallas_mlp import fused_nerf_eval, pack_params
+
+    packed = pack_params(bundle.config, params)
+    m = flat_xyz.shape[0]
+    block = min(block, m) if m % block != 0 else block
+    m_pad = ((m + block - 1) // block) * block
+    pad = m_pad - m
+
+    def pad_to(x):
+        if x is None or pad == 0:
+            return x
+        return jnp.concatenate([x, jnp.tile(x[-1:], (pad, 1))], axis=0)
+
+    app_embed = None
+    if bundle.config.appearance_dim > 0:
+        app_embed = jnp.asarray(params["appearance"]["embedding"])[idx]
+
+    out = fused_nerf_eval(
+        packed, pad_to(flat_xyz), pad_to(dirs), pad_to(app_embed), block=block
+    )
+    return out[:m]
 
 
 def _model_eval(
@@ -105,9 +144,28 @@ def _model_eval(
         # Uniform [0,1) pre-activation density noise (rendering.py:294,321).
         sigma_noise = jax.random.uniform(key, (n * s, 1))
 
-    out = bundle.apply(
-        params, typ, flat_xyz, dirs if use_dirs else None, idx, sigma_noise
-    )
+    if (
+        settings.use_pallas
+        # "auto" engages only where Mosaic compiles natively; on CPU the
+        # kernel would run in (slow) interpret mode, so fall back to XLA
+        # there unless explicitly forced with use_pallas=True.
+        and (settings.use_pallas is True or jax.default_backend() == "tpu")
+        and not train
+        and sigma_noise is None
+        and settings.sh_deg is None
+        and not getattr(bundle, "is_mega", True)
+        and not getattr(bundle, "cascade", True)
+        and not bundle.config.affine_appearance
+    ):
+        out = _pallas_eval(bundle, params, flat_xyz,
+                           dirs if use_dirs else None, idx)
+    else:
+        apply_fn = lambda p, x, d, i, sn: bundle.apply(p, typ, x, d, i, sn)
+        if settings.remat:
+            apply_fn = jax.checkpoint(apply_fn)
+        out = apply_fn(
+            params, flat_xyz, dirs if use_dirs else None, idx, sigma_noise
+        )
 
     if settings.sh_deg is not None:
         rgb_dim = 3 * (settings.sh_deg + 1) ** 2
