@@ -19,6 +19,7 @@ import dataclasses
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -42,6 +43,69 @@ def frequency_encode(x: jnp.ndarray, num_freqs: int, logscale: bool = True) -> j
 def shifted_softplus(x: jnp.ndarray) -> jnp.ndarray:
     """softplus(x - 1): the reference's sigma activation (`models/nerf.py:28-42`)."""
     return nn.softplus(x - 1.0)
+
+
+class MXUDense(nn.Module):
+    """Dense layer with explicit f32 MXU accumulation.
+
+    Drop-in for `nn.Dense(features, dtype=...)` (identical param names,
+    shapes, and init, so checkpoints interchange), but the matmul requests
+    `preferred_element_type=float32`. On TPU v5e a bf16 x bf16 -> bf16 dot
+    compiles ~14x slower than the same dot with an f32 accumulator
+    (measured: 181ms vs 13ms for 8 x (786k,256)@(256,256)); the MXU always
+    accumulates in f32 internally, so this is free precision AND the fast
+    path. The bias add also happens in f32 before the final cast.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        y = jnp.dot(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return (y + bias).astype(self.dtype)
+
+
+class OneHotEmbed(nn.Module):
+    """Embedding lookup as a one-hot matmul instead of a gather.
+
+    Drop-in for `nn.Embed` (same "embedding" param name/shape/init), but the
+    lookup runs on the MXU: a row gather of (n_points, dim) from a small
+    table compiles to a pathological scalar loop on TPU (measured 96ms for
+    786k x 48 from a (512, 48) table), while one_hot(idx) @ table fuses the
+    iota-compare into a ~1ms matmul.
+    """
+
+    num_embeddings: int
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, idx: jnp.ndarray) -> jnp.ndarray:
+        table = self.param(
+            "embedding",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal", out_axis=0),
+            (self.num_embeddings, self.features),
+            jnp.float32,
+        )
+        one_hot = jax.nn.one_hot(idx, self.num_embeddings, dtype=self.dtype)
+        return jnp.dot(
+            one_hot, table.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -113,9 +177,13 @@ class NeRF(nn.Module):
     ) -> jnp.ndarray:
         cfg = self.config
         dtype = cfg.dtype
-        dense = lambda feats, name: nn.Dense(feats, dtype=dtype, name=name)
+        dense = lambda feats, name: MXUDense(feats, dtype=dtype, name=name)
 
-        x_in = frequency_encode(xyz.astype(dtype), cfg.pos_xyz_dim)
+        # Encode in f32, cast after: sin(2^11 x) in bf16 (8 mantissa bits)
+        # would quantize positions far coarser than scene detail.
+        x_in = frequency_encode(
+            xyz.astype(jnp.float32), cfg.pos_xyz_dim
+        ).astype(dtype)
         h = x_in
         for i in range(cfg.layers):
             if i in cfg.skip_layers:
@@ -136,7 +204,7 @@ class NeRF(nn.Module):
         appearance = None
         if cfg.appearance_dim > 0:
             assert image_indices is not None, "appearance model needs image indices"
-            appearance = nn.Embed(
+            appearance = OneHotEmbed(
                 cfg.appearance_count, cfg.appearance_dim, dtype=dtype,
                 name="appearance",
             )(image_indices.astype(jnp.int32))
@@ -153,7 +221,9 @@ class NeRF(nn.Module):
                 else:
                     dir_in = dirs
                 branch_in.append(
-                    frequency_encode(dir_in.astype(dtype), cfg.pos_dir_dim)
+                    frequency_encode(
+                        dir_in.astype(jnp.float32), cfg.pos_dir_dim
+                    ).astype(dtype)
                 )
             if appearance is not None and not cfg.affine_appearance:
                 branch_in.append(appearance)

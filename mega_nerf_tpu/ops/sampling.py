@@ -54,14 +54,31 @@ def sample_cdf(
     else:
         u = jax.random.uniform(key, (n_rays, fine_samples), dtype=cdf.dtype)
 
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, n_bins)
-
-    cdf_lo = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_hi = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_lo = jnp.take_along_axis(bins, below, axis=-1)
-    bins_hi = jnp.take_along_axis(bins, above, axis=-1)
+    # Bracketing-neighbor lookup WITHOUT searchsorted / take_along_axis:
+    # on TPU those compile to per-element binary-search while-loops and
+    # scalar-core gathers (~150 ms/step at the paper config — profiled).
+    # Both `bins` and `cdf` ascend, and "cdf_j <= u" is a prefix mask, so
+    # the left neighbor of u is a prefix-masked MAX and the right neighbor
+    # a suffix-masked MIN — XLA fuses each broadcast+select+reduce into one
+    # vectorized pass with no (N, fs, S+1) materialization.
+    # Semantics match searchsorted(cdf, u, side="right") with index clamping
+    # (the clamps below cover u outside [cdf_0, cdf_S], including the
+    # deterministic u = 1.0 endpoint), duplicate cdf values included: the
+    # prefix max of an ascending array IS its last in-prefix element.
+    # Finite sentinels, not +-inf: infs inside fused where/reduce kernels
+    # produce 0*inf = NaN under XLA's optimized (but not de-optimized)
+    # lowering. cdf lives in [0, 1] and bins are scene depths << 1e30.
+    mask = cdf[:, None, :] <= u[:, :, None]  # (N, fs, S+1)
+    neg = jnp.array(-1e30, cdf.dtype)
+    pos = jnp.array(1e30, cdf.dtype)
+    cdf_lo = jnp.max(jnp.where(mask, cdf[:, None, :], neg), axis=-1)
+    cdf_hi = jnp.min(jnp.where(mask, pos, cdf[:, None, :]), axis=-1)
+    bins_lo = jnp.max(jnp.where(mask, bins[:, None, :], neg), axis=-1)
+    bins_hi = jnp.min(jnp.where(mask, pos, bins[:, None, :]), axis=-1)
+    cdf_lo = jnp.maximum(cdf_lo, cdf[:, :1])
+    bins_lo = jnp.maximum(bins_lo, bins[:, :1])
+    cdf_hi = jnp.minimum(cdf_hi, cdf[:, -1:])
+    bins_hi = jnp.minimum(bins_hi, bins[:, -1:])
 
     denom = cdf_hi - cdf_lo
     denom = jnp.where(denom < 1e-8, jnp.ones_like(denom), denom)

@@ -39,7 +39,10 @@ import jax
 import jax.numpy as jnp
 
 from mega_nerf_tpu.models.factory import ModelBundle
-from mega_nerf_tpu.ops.compositing import composite_weights
+from mega_nerf_tpu.ops.compositing import (
+    composite_weights,
+    composite_weights_union,
+)
 from mega_nerf_tpu.ops.geometry import depth2pts_outside, intersect_sphere
 from mega_nerf_tpu.ops.sampling import expand_and_perturb_z_vals, sample_pdf
 from mega_nerf_tpu.ops.sh import eval_sh
@@ -105,7 +108,14 @@ def _pallas_eval(bundle, params, flat_xyz, dirs, idx, block: int = 1024):
 
     app_embed = None
     if bundle.config.appearance_dim > 0:
-        app_embed = jnp.asarray(params["appearance"]["embedding"])[idx]
+        # One-hot matmul, not a row gather: per-point gathers from a small
+        # table compile to scalar loops on TPU (see models.nerf.OneHotEmbed).
+        table = jnp.asarray(params["appearance"]["embedding"])
+        one_hot = jax.nn.one_hot(idx, table.shape[0], dtype=bundle.config.dtype)
+        app_embed = jnp.dot(
+            one_hot, table.astype(bundle.config.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(bundle.config.dtype)
 
     out = fused_nerf_eval(
         packed, pad_to(flat_xyz), pad_to(dirs), pad_to(app_embed), block=block
@@ -218,27 +228,22 @@ def _inference(
     )
 
     if merge_prev:
-        z_all = jnp.concatenate([z_vals, results["zvals_coarse"]], axis=-1)
-        order = jnp.argsort(-z_all if flip else z_all, axis=-1)
-        z_vals = jnp.take_along_axis(z_all, order, axis=-1)
-        rgbs = jnp.take_along_axis(
-            jnp.concatenate([rgbs, results["raw_rgb_coarse"]], axis=1),
-            order[..., None],
-            axis=1,
-        )
-        sigmas = jnp.take_along_axis(
-            jnp.concatenate([sigmas, results["raw_sigma_coarse"]], axis=1),
-            order,
-            axis=1,
-        )
+        # Merge the coarse and fine sample sets WITHOUT sorting: the union
+        # compositor computes order-dependent quantities as masked pairwise
+        # reductions, and every consumer below (rgb/depth/variance sums) is
+        # order-invariant. The sorted formulation (reference
+        # rendering.py:336-350) costs a TPU sort custom-call plus payload
+        # gathers fwd / scatters bwd — ~90ms/step at the paper config.
+        z_vals = jnp.concatenate([z_vals, results["zvals_coarse"]], axis=-1)
+        rgbs = jnp.concatenate([rgbs, results["raw_rgb_coarse"]], axis=1)
+        sigmas = jnp.concatenate([sigmas, results["raw_sigma_coarse"]], axis=1)
         if depth_real is not None:
-            depth_real = jnp.take_along_axis(
-                jnp.concatenate([depth_real, results["depth_real_coarse"]], axis=-1),
-                order,
-                axis=-1,
+            depth_real = jnp.concatenate(
+                [depth_real, results["depth_real_coarse"]], axis=-1
             )
-
-    cw = composite_weights(sigmas, z_vals, last_delta, flip=flip)
+        cw = composite_weights_union(z_vals, sigmas, last_delta, flip=flip)
+    else:
+        cw = composite_weights(sigmas, z_vals, last_delta, flip=flip)
     weights = cw.weights
 
     if get_bg_lambda:
