@@ -66,11 +66,12 @@ class RenderSettings:
     remat: bool = False
     # Use the fused Pallas MLP kernel for inference-time model evaluation
     # (render/eval paths; training and mega/cascade bundles fall back to the
-    # XLA path automatically). "auto" = only on TPU backends (measured 6x
-    # over the XLA eval path on v5e); True = always, even on CPU where the
-    # kernel runs in slow interpret mode (testing); False = never.
-    # See render/pallas_mlp.py.
-    use_pallas: Any = "auto"
+    # XLA path automatically). False (default) = XLA: after the MXUDense /
+    # OneHotEmbed fixes the XLA eval path sustains ~26M pts/s on v5e vs the
+    # kernel's ~14M — the kernel only wins against naive XLA lowerings.
+    # "auto" = use it on TPU backends; True = always, even on CPU where it
+    # runs in slow interpret mode (testing). See render/pallas_mlp.py.
+    use_pallas: Any = False
     get_depth: bool = False
     get_depth_variance: bool = False
     get_bg_fg_rgb: bool = False
@@ -84,7 +85,7 @@ class RenderSettings:
             perturb=getattr(hparams, "perturb", 1.0),
             sh_deg=getattr(hparams, "sh_deg", None),
             remat=getattr(hparams, "remat", False),
-            use_pallas=getattr(hparams, "use_pallas", "auto"),
+            use_pallas=getattr(hparams, "use_pallas", False),
         )
         kw.update(overrides)
         return cls(**kw)
