@@ -8,9 +8,11 @@ VMEM-resident program:
 
 - all weights live in VMEM for the entire grid (~1.3 MB bf16 for the paper
   config; 16 MB budget);
-- each grid step streams a block of points in, runs 10 matmuls on the MXU
-  with VPU nonlinearities in between, and writes only the 4-float
-  rgb+sigma result back to HBM — activations never leave the chip;
+- each grid step streams a block of pre-encoded points in, runs 10 matmuls
+  on the MXU with VPU nonlinearities in between, and writes only the
+  4-float rgb+sigma result back to HBM — trunk activations never leave the
+  chip (frequency encoding itself runs outside in XLA: on (block, 3)
+  inputs it only uses 3 of 128 vector lanes in-kernel and cost 4x);
 - feature dims are padded to lane multiples (75 -> 128 for the position
   encoding, 27 -> 128 for the direction encoding) with zero weight rows so
   results are bit-identical to the unpadded math.
@@ -166,26 +168,59 @@ def pack_params(cfg: NeRFConfig, params: Dict[str, Any]) -> PackedMLP:
 
 def _freq_encode_block(x: jnp.ndarray, num_freqs: int, out_width: int
                        ) -> jnp.ndarray:
-    """(B, d) -> (B, out_width) [x, sin(2^k x), cos(2^k x), ..., zeros]."""
+    """(B, d) -> (B, out_width) [x, sin(2^k x), cos(2^k x), ..., zeros].
+
+    Lane-wide formulation: the naive per-frequency loop operates on (B, d)
+    arrays — d of 128 vector lanes live — and when its result must be
+    MATERIALIZED (it feeds a custom call, so XLA cannot fuse it into a
+    matmul operand) the sin/concat chain alone cost ~320ms for 3.1M points.
+    Instead build every pre-trig column with ONE (B, d) @ (d, out_width)
+    matmul whose column c holds 2^k in the right row (exact: power-of-two
+    scaling), then apply sin / cos / identity full-width and select per
+    column. Bit-identical to the loop formulation.
+    """
     b, d = x.shape
-    parts = [x]
+    proj = np.zeros((d, out_width), np.float32)
+    kind = np.zeros((out_width,), np.int32)  # 0 = linear/pad, 1 = sin, 2 = cos
+    for c in range(d):
+        proj[c, c] = 1.0
+    col = d
     for k in range(num_freqs):
-        fx = x * (2.0 ** k)
-        parts.append(jnp.sin(fx))
-        parts.append(jnp.cos(fx))
-    enc = jnp.concatenate(parts, axis=-1)
-    pad = out_width - enc.shape[-1]
-    if pad:
-        enc = jnp.concatenate([enc, jnp.zeros((b, pad), enc.dtype)], axis=-1)
-    return enc
+        for trig in (1, 2):
+            for c in range(d):
+                proj[c, col] = 2.0 ** k
+                kind[col] = trig
+                col += 1
+    assert col <= out_width
+    # precision=HIGHEST: the default TPU matmul truncates f32 inputs to
+    # bf16, and an 8-bit-mantissa position times 2^11 is off by whole
+    # radians before the sin. Full f32 passes keep the power-of-two scaling
+    # exact; this dot is (B, 3) @ (3, 128) — negligible FLOPs.
+    xp = jnp.dot(
+        x.astype(jnp.float32), jnp.asarray(proj),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    kindv = jnp.asarray(kind)[None, :]
+    return jnp.where(
+        kindv == 1, jnp.sin(xp), jnp.where(kindv == 2, jnp.cos(xp), xp)
+    )
 
 
 def _mlp_kernel(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_pad: int,
                 compute_dtype, *refs):
-    """Kernel body. refs = [xyz, (dirs), (app), weights..., out]."""
+    """Kernel body. refs = [enc, (dir_enc), (app), weights..., out].
+
+    Frequency encodings arrive PRE-COMPUTED (lane-padded, compute dtype):
+    encoding inside the kernel operates on (block, 3) vectors — 3 of 128
+    lanes live — and collapsed throughput ~4x (measured 30ms vs 7.6ms for
+    the same trunk at block=4096). XLA fuses the encode into wide
+    elementwise passes outside; the kernel keeps what benefits from VMEM
+    residency: the matmul chain and its activations.
+    """
     it = iter(refs)
-    xyz_ref = next(it)
-    dirs_ref = next(it) if cfg.pos_dir_dim > 0 else None
+    enc_ref = next(it)
+    dir_enc_ref = next(it) if cfg.pos_dir_dim > 0 else None
     app_ref = next(it) if app_pad else None
 
     trunk = [(next(it), next(it)) for _ in range(cfg.layers)]
@@ -197,11 +232,7 @@ def _mlp_kernel(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_pad: int,
     out_ref = next(it)
 
     cd = compute_dtype
-    # Transcendentals (sin/cos) must run in f32 — Mosaic has no bf16
-    # legalization for them; cast the encodings down afterwards.
-    enc = _freq_encode_block(
-        xyz_ref[...].astype(jnp.float32), cfg.pos_xyz_dim, enc_pad
-    ).astype(cd)
+    enc = enc_ref[...].astype(cd)
     h = enc
     for i, (k_ref, b_ref) in enumerate(trunk):
         if i in cfg.skip_layers:
@@ -238,9 +269,7 @@ def _mlp_kernel(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_pad: int,
         ka = dir_a_k[...].astype(cd)
         acc = jnp.dot(final, ka[:d_model], preferred_element_type=jnp.float32)
         if cfg.pos_dir_dim > 0:
-            dir_enc = _freq_encode_block(
-                dirs_ref[...].astype(jnp.float32), cfg.pos_dir_dim, dir_pad
-            ).astype(cd)
+            dir_enc = dir_enc_ref[...].astype(cd)
             acc = acc + jnp.dot(
                 dir_enc, ka[d_model : d_model + dir_pad],
                 preferred_element_type=jnp.float32,
@@ -265,8 +294,12 @@ def _mlp_kernel(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_pad: int,
         )
     rgb = jax.nn.sigmoid(rgb_pre)  # (B, LANE), cols 0..2 real
 
-    # Pack [r, g, b, sigma] into the 4 output columns.
-    out = jnp.concatenate([rgb[:, :3], sigma[:, :1]], axis=-1)
+    # Pack sigma into lane 3 of the rgb tile via an iota-select and write the
+    # FULL (B, LANE) tile. A narrow (B, 4) output block forces Mosaic into
+    # per-row relayouts that dominate the whole kernel (measured 48.6ms vs
+    # 4.2ms for 524k points — 11x); the caller slices [:, :4] outside.
+    lane = jax.lax.broadcasted_iota(jnp.int32, rgb.shape, 1)
+    out = jnp.where(lane == 3, sigma[:, :1], rgb)
     out_ref[...] = out.astype(out_ref.dtype)
 
 
@@ -278,7 +311,13 @@ def fused_nerf_eval(
     block: int = 1024,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """-> (M, 4) [rgb, sigma]; bit-compatible with the Flax NeRF forward."""
+    """-> (M, 4) [rgb, sigma]; bit-compatible with the Flax NeRF forward.
+
+    Takes raw xyz/dirs; the frequency encodings are computed here in XLA
+    (f32 transcendentals, fused wide elementwise) and only the lane-padded
+    results are streamed into the kernel — see `_mlp_kernel`'s docstring.
+    Replicates the reference packed-dirs quirk when cfg.ref_packed_dirs.
+    """
     cfg = packed.config
     m = xyz.shape[0]
     assert m % block == 0, (m, block)
@@ -293,15 +332,25 @@ def fused_nerf_eval(
         arr.shape, lambda i: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM,
     )
 
-    inputs = [xyz]
-    in_specs = [point_spec(xyz.shape[1])]
+    enc = _freq_encode_block(
+        xyz.astype(jnp.float32), cfg.pos_xyz_dim, packed.enc_pad
+    ).astype(cfg.dtype)
+    inputs = [enc]
+    in_specs = [point_spec(packed.enc_pad)]
     if cfg.pos_dir_dim > 0:
         assert dirs is not None
-        inputs.append(dirs)
-        in_specs.append(point_spec(3))
+        if cfg.ref_packed_dirs and cfg.appearance_dim == 0:
+            dir_in = jnp.concatenate([xyz[:, -1:], dirs[:, :2]], axis=-1)
+        else:
+            dir_in = dirs
+        dir_enc = _freq_encode_block(
+            dir_in.astype(jnp.float32), cfg.pos_dir_dim, packed.dir_pad
+        ).astype(cfg.dtype)
+        inputs.append(dir_enc)
+        in_specs.append(point_spec(packed.dir_pad))
     if packed.app_pad:
         assert app_embed is not None
-        inputs.append(app_embed)
+        inputs.append(app_embed.astype(cfg.dtype))
         in_specs.append(point_spec(app_embed.shape[1]))
 
     weights = []
@@ -327,12 +376,13 @@ def fused_nerf_eval(
         compiler_params = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((block, 4), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((m, 4), jnp.float32),
+        out_specs=pl.BlockSpec((block, LANE), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, LANE), jnp.float32),
         interpret=interpret,
         compiler_params=compiler_params,
     )(*inputs)
+    return out[:, :4]  # [r, g, b, sigma]
