@@ -64,17 +64,21 @@ class PackedMLP:
     rgb_bias: jnp.ndarray  # (1, LANE)
 
 
-def pack_params(cfg: NeRFConfig, params: Dict[str, Any]) -> PackedMLP:
+def pack_params(cfg: NeRFConfig, params: Dict[str, Any],
+                cast: bool = True) -> PackedMLP:
     """Flax NeRF params -> zero-padded, lane-aligned kernel weights.
 
     Matmul weights are stored pre-cast to the compute dtype (bf16 on TPU) to
     halve their VMEM footprint; biases stay f32 (they add into the f32
-    matmul accumulators).
+    matmul accumulators). `cast=False` keeps weights f32 — used by the
+    differentiable training path (pallas_train.py), where the padding ops
+    must be transparently reversible by JAX's AD (cotangents come back f32)
+    and the kernels cast to the compute dtype internally.
     """
     assert cfg.rgb_dim == 3, "pallas path supports rgb output only"
     assert not cfg.affine_appearance, "affine appearance not fused yet"
     f32 = lambda a: jnp.asarray(a, jnp.float32)
-    wdt = lambda a: jnp.asarray(a, cfg.dtype)
+    wdt = (lambda a: jnp.asarray(a, cfg.dtype)) if cast else f32
 
     enc_in = cfg.xyz_dim * (1 + 2 * cfg.pos_xyz_dim)
     enc_pad = _round_up(enc_in, LANE)

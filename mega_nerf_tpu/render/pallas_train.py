@@ -1,0 +1,401 @@
+"""Fused NeRF MLP training path: Pallas forward + custom-VJP backward.
+
+The XLA training step spends ~85% of device time in the MLP forward and
+backward; the fused eval kernel (pallas_mlp.py) runs the same forward 2x
+faster than XLA's lowering by keeping every activation VMEM-resident. This
+module extends that to training:
+
+- the FORWARD kernel is the eval kernel minus the output nonlinearities:
+  it emits pre-activation heads [rgb_pre(3), sigma_pre(1)]. Sigma noise,
+  shifted-softplus/relu and the rgb sigmoid are applied OUTSIDE in XLA —
+  they are cheap (m, 4) elementwise ops whose VJPs JAX derives
+  automatically, so the custom kernel pair only has to differentiate a
+  piecewise-linear (relu) network.
+- the BACKWARD kernel RECOMPUTES the forward activations block-by-block in
+  VMEM (rematerialization: ~1 extra forward of FLOPs instead of streaming
+  8 layers of activations through HBM twice) and accumulates weight
+  gradients across grid steps into VMEM-resident f32 accumulators
+  (constant-index output blocks are kept live by the Mosaic pipeline;
+  program_id 0 zero-initializes them).
+
+Only input gradients that exist are emitted: d(appearance embedding) per
+point. Positions, directions, and sigma noise carry no parameter
+gradients, so their cotangents are returned as zeros and pruned by JAX.
+
+Parity: same network semantics as `models/nerf.py::NeRF.__call__`
+(reference `mega_nerf/models/nerf.py:115-160`); gradient equality against
+the Flax path is tested in tests/test_pallas_train.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mega_nerf_tpu.models.nerf import NeRFConfig
+from mega_nerf_tpu.render.pallas_mlp import (
+    LANE,
+    PackedMLP,
+    _freq_encode_block,
+    pack_params,
+)
+
+
+def _dT(a, b, cd):
+    """(B, x)^T @ (B, y) -> (x, y), f32 accumulate."""
+    return lax.dot_general(
+        a.astype(cd), b.astype(cd), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _d_rhsT(a, w, cd):
+    """(B, y) @ W^T for W (x, y) -> (B, x), f32 accumulate."""
+    return lax.dot_general(
+        a.astype(cd), w.astype(cd), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot(a, w, cd):
+    return jnp.dot(a.astype(cd), w.astype(cd),
+                   preferred_element_type=jnp.float32)
+
+
+def _forward_core(cfg: NeRFConfig, enc_pad: int, enc, dir_enc, app, ws):
+    """Shared fwd compute. Returns (hs, sigma_pre, final, branch, rgb_pre)."""
+    cd = cfg.dtype
+    it = iter(ws)
+    trunk = [(next(it), next(it)) for _ in range(cfg.layers)]
+    sigma_k, sigma_b = next(it), next(it)
+    if cfg.uses_dir_branch:
+        final_k, final_b = next(it), next(it)
+        dir_a_k, dir_a_b = next(it), next(it)
+    rgb_k, rgb_b = next(it), next(it)
+
+    h = enc
+    hs = []
+    for i, (k, b) in enumerate(trunk):
+        if i in cfg.skip_layers:
+            pre = (_dot(enc, k[:enc_pad], cd) + _dot(h, k[enc_pad:], cd) + b)
+        else:
+            pre = _dot(h, k, cd) + b
+        h = jnp.maximum(pre, 0.0).astype(cd)
+        hs.append(h)
+
+    sigma_pre = _dot(h, sigma_k, cd) + sigma_b  # (B, LANE) col 0 real
+
+    final = branch = None
+    if cfg.uses_dir_branch:
+        final = (_dot(h, final_k, cd) + final_b).astype(cd)
+        d = final.shape[-1]
+        dir_pad = dir_enc.shape[-1] if dir_enc is not None else 0
+        acc = _dot(final, dir_a_k[:d], cd)
+        if dir_enc is not None:
+            acc = acc + _dot(dir_enc, dir_a_k[d : d + dir_pad], cd)
+        if app is not None:
+            acc = acc + _dot(
+                app, dir_a_k[d + dir_pad : d + dir_pad + app.shape[-1]], cd
+            )
+        branch = jnp.maximum(acc + dir_a_b, 0.0).astype(cd)
+        rgb_pre = _dot(branch, rgb_k, cd) + rgb_b
+    else:
+        rgb_pre = _dot(h, rgb_k, cd) + rgb_b
+    return hs, sigma_pre, final, branch, rgb_pre
+
+
+def _train_fwd_kernel(cfg, enc_pad, dir_pad, app_w, *refs):
+    it = iter(refs)
+    enc = next(it)[...].astype(cfg.dtype)
+    dir_enc = next(it)[...].astype(cfg.dtype) if dir_pad else None
+    app = next(it)[...].astype(cfg.dtype) if app_w else None
+    n_w = 2 * cfg.layers + 2 + (4 if cfg.uses_dir_branch else 0) + 2
+    ws = [next(it)[...] for _ in range(n_w)]
+    out_ref = next(it)
+
+    _, sigma_pre, _, _, rgb_pre = _forward_core(
+        cfg, enc_pad, enc, dir_enc, app, ws
+    )
+    lane = lax.broadcasted_iota(jnp.int32, rgb_pre.shape, 1)
+    out = jnp.where(lane == 3, sigma_pre[:, :1], rgb_pre)
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+def _train_bwd_kernel(cfg, enc_pad, dir_pad, app_w, *refs):
+    cd = cfg.dtype
+    it = iter(refs)
+    enc = next(it)[...].astype(cd)
+    dir_enc = next(it)[...].astype(cd) if dir_pad else None
+    app = next(it)[...].astype(cd) if app_w else None
+    g_rgb = next(it)[...]    # (B, LANE) lanes 0..2 live (pre-activation)
+    g_sigma = next(it)[...]  # (B, LANE) lane 0 live
+    n_w = 2 * cfg.layers + 2 + (4 if cfg.uses_dir_branch else 0) + 2
+    ws = [next(it)[...] for _ in range(n_w)]
+    outs = list(it)  # gradient output refs (+ optional d_app first)
+
+    oit = iter(outs)
+    d_app_ref = next(oit) if app_w else None
+    grad_refs = list(oit)  # aligned with ws order
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in grad_refs:
+            r[...] = jnp.zeros_like(r)
+
+    hs, _, final, branch, _ = _forward_core(
+        cfg, enc_pad, enc, dir_enc, app, ws
+    )
+    h_last = hs[-1]
+
+    wit = iter(range(n_w))
+    trunk_idx = [(next(wit), next(wit)) for _ in range(cfg.layers)]
+    sig_ki, sig_bi = next(wit), next(wit)
+    if cfg.uses_dir_branch:
+        fin_ki, fin_bi = next(wit), next(wit)
+        da_ki, da_bi = next(wit), next(wit)
+    rgb_ki, rgb_bi = next(wit), next(wit)
+
+    # sigma head
+    grad_refs[sig_ki][...] += _dT(h_last, g_sigma, cd)
+    grad_refs[sig_bi][...] += jnp.sum(g_sigma, axis=0, keepdims=True)
+    d_h = _d_rhsT(g_sigma, ws[sig_ki], cd)  # (B, d)
+
+    if cfg.uses_dir_branch:
+        d = final.shape[-1]
+        # rgb head
+        grad_refs[rgb_ki][...] += _dT(branch, g_rgb, cd)
+        grad_refs[rgb_bi][...] += jnp.sum(g_rgb, axis=0, keepdims=True)
+        d_branch = _d_rhsT(g_rgb, ws[rgb_ki], cd)
+        # relu masks compared in f32: Mosaic has no bf16 vector cmpf.
+        d_a_pre = (d_branch * (branch.astype(jnp.float32) > 0)).astype(cd)
+        # dir_a packed input rows: [final | dir_enc | app]
+        ka = ws[da_ki]
+        grad_refs[da_ki][:d] += _dT(final, d_a_pre, cd)
+        if dir_pad:
+            grad_refs[da_ki][d : d + dir_pad] += _dT(dir_enc, d_a_pre, cd)
+        if app_w:
+            grad_refs[da_ki][d + dir_pad : d + dir_pad + app_w] += _dT(
+                app, d_a_pre, cd
+            )
+            d_app_ref[...] = _d_rhsT(
+                d_a_pre, ka[d + dir_pad : d + dir_pad + app_w], cd
+            ).astype(d_app_ref.dtype)
+        grad_refs[da_bi][...] += jnp.sum(d_a_pre, axis=0, keepdims=True)
+        d_final = _d_rhsT(d_a_pre, ka[:d], cd)
+        # final layer (no activation)
+        grad_refs[fin_ki][...] += _dT(h_last, d_final, cd)
+        grad_refs[fin_bi][...] += jnp.sum(d_final, axis=0, keepdims=True)
+        d_h = d_h + _d_rhsT(d_final, ws[fin_ki], cd)
+    else:
+        grad_refs[rgb_ki][...] += _dT(h_last, g_rgb, cd)
+        grad_refs[rgb_bi][...] += jnp.sum(g_rgb, axis=0, keepdims=True)
+        d_h = d_h + _d_rhsT(g_rgb, ws[rgb_ki], cd)
+
+    # trunk, last layer to first
+    for i in reversed(range(cfg.layers)):
+        ki, bi = trunk_idx[i]
+        d_pre = (d_h * (hs[i].astype(jnp.float32) > 0)).astype(cd)
+        grad_refs[bi][...] += jnp.sum(d_pre, axis=0, keepdims=True)
+        h_in = enc if i == 0 else hs[i - 1]
+        if i in cfg.skip_layers:
+            grad_refs[ki][:enc_pad] += _dT(enc, d_pre, cd)
+            grad_refs[ki][enc_pad:] += _dT(h_in, d_pre, cd)
+            d_h = _d_rhsT(d_pre, ws[ki][enc_pad:], cd)
+        else:
+            grad_refs[ki][...] += _dT(h_in, d_pre, cd)
+            if i > 0:
+                d_h = _d_rhsT(d_pre, ws[ki], cd)
+
+
+def _weights_tuple(packed: PackedMLP) -> Tuple[jnp.ndarray, ...]:
+    ws = []
+    for k, b in zip(packed.trunk_kernels, packed.trunk_biases):
+        ws += [k, b]
+    ws += [packed.sigma_kernel, packed.sigma_bias]
+    if packed.config.uses_dir_branch:
+        ws += [packed.final_kernel, packed.final_bias,
+               packed.dir_a_kernel, packed.dir_a_bias]
+    ws += [packed.rgb_kernel, packed.rgb_bias]
+    return tuple(ws)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_train_fn(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_w: int,
+                   block: int, interpret: bool):
+    """custom_vjp'd fused apply: (ws, enc, dir_enc, app) -> (m, LANE)."""
+
+    def fwd_call(ws, enc, dir_enc, app):
+        m = enc.shape[0]
+        grid = (m // block,)
+        point = lambda w: pl.BlockSpec((block, w), lambda i: (i, 0))
+        whole = lambda a: pl.BlockSpec(a.shape, lambda i: tuple(
+            0 for _ in a.shape))
+        inputs = [enc]
+        specs = [point(enc_pad)]
+        if dir_pad:
+            inputs.append(dir_enc); specs.append(point(dir_pad))
+        if app_w:
+            inputs.append(app); specs.append(point(app_w))
+        inputs.extend(ws)
+        specs.extend(whole(w) for w in ws)
+        return pl.pallas_call(
+            functools.partial(_train_fwd_kernel, cfg, enc_pad, dir_pad, app_w),
+            grid=grid,
+            in_specs=specs,
+            out_specs=pl.BlockSpec((block, LANE), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((m, LANE), jnp.float32),
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(*inputs)
+
+    def bwd_call(ws, enc, dir_enc, app, g_rgb, g_sigma):
+        m = enc.shape[0]
+        grid = (m // block,)
+        point = lambda w: pl.BlockSpec((block, w), lambda i: (i, 0))
+        whole = lambda a: pl.BlockSpec(a.shape, lambda i: tuple(
+            0 for _ in a.shape))
+        inputs = [enc]
+        specs = [point(enc_pad)]
+        if dir_pad:
+            inputs.append(dir_enc); specs.append(point(dir_pad))
+        if app_w:
+            inputs.append(app); specs.append(point(app_w))
+        inputs += [g_rgb, g_sigma]
+        specs += [point(LANE), point(LANE)]
+        inputs.extend(ws)
+        specs.extend(whole(w) for w in ws)
+
+        out_shapes = []
+        out_specs = []
+        if app_w:
+            out_shapes.append(jax.ShapeDtypeStruct((m, app_w), jnp.float32))
+            out_specs.append(point(app_w))
+        for w in ws:
+            out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+            out_specs.append(whole(w))
+        outs = pl.pallas_call(
+            functools.partial(_train_bwd_kernel, cfg, enc_pad, dir_pad, app_w),
+            grid=grid,
+            in_specs=specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(*inputs)
+        if app_w:
+            return outs[0], tuple(outs[1:])
+        return None, tuple(outs)
+
+    @jax.custom_vjp
+    def apply(ws, enc, dir_enc, app):
+        return fwd_call(ws, enc, dir_enc, app)
+
+    def apply_fwd(ws, enc, dir_enc, app):
+        return fwd_call(ws, enc, dir_enc, app), (ws, enc, dir_enc, app)
+
+    def apply_bwd(res, g):
+        ws, enc, dir_enc, app = res
+        g = g.astype(jnp.float32)
+        lane = lax.broadcasted_iota(jnp.int32, g.shape, 1)
+        g_rgb = jnp.where(lane < 3, g, 0.0)
+        g_sigma = jnp.pad(g[:, 3:4], ((0, 0), (0, LANE - 1)))
+        d_app, d_ws = bwd_call(ws, enc, dir_enc, app, g_rgb, g_sigma)
+        return (
+            d_ws,
+            jnp.zeros_like(enc),
+            None if dir_enc is None else jnp.zeros_like(dir_enc),
+            None if app is None else d_app,
+        )
+
+    apply.defvjp(apply_fwd, apply_bwd)
+    return apply
+
+
+def supports_fused_train(cfg: NeRFConfig) -> bool:
+    """Whether the fused training kernels cover this architecture on TPU.
+
+    The row-slice offsets inside the backward kernel (skip split at
+    enc_pad, dir_a split at layer_dim / +dir_pad) must be Mosaic
+    sublane-aligned, which holds when layer_dim is lane-aligned. CPU
+    interpret mode has no such restriction (tests run tiny dims)."""
+    return (
+        cfg.rgb_dim == 3
+        and not cfg.affine_appearance
+        and (jax.default_backend() != "tpu" or cfg.layer_dim % LANE == 0)
+    )
+
+
+def fused_nerf_train_apply(
+    cfg: NeRFConfig,
+    params: Dict[str, Any],
+    xyz: jnp.ndarray,
+    dirs: Optional[jnp.ndarray],
+    app_embed: Optional[jnp.ndarray],  # (M, appearance_dim), pre-gathered
+    sigma_noise: Optional[jnp.ndarray],  # (M, 1) or None
+    block: int = 1024,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Differentiable fused forward -> (M, 4) [sigmoid rgb, activated sigma].
+
+    Drop-in for the Flax NeRF `apply` on the training path; gradients flow
+    to `params` (through the padding done by `pack_params(cast=False)`)
+    and to `app_embed`.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    packed = pack_params(cfg, params, cast=False)
+    m = xyz.shape[0]
+    block = min(block, m) if m % block != 0 else block
+    m_pad = ((m + block - 1) // block) * block
+    pad = m_pad - m
+
+    def pad_to(x):
+        if x is None or pad == 0:
+            return x
+        return jnp.concatenate([x, jnp.tile(x[-1:], (pad, 1))], axis=0)
+
+    enc = _freq_encode_block(
+        xyz.astype(jnp.float32), cfg.pos_xyz_dim, packed.enc_pad
+    )
+    dir_enc = None
+    if cfg.pos_dir_dim > 0:
+        assert dirs is not None
+        if cfg.ref_packed_dirs and cfg.appearance_dim == 0:
+            dir_in = jnp.concatenate([xyz[:, -1:], dirs[:, :2]], axis=-1)
+        else:
+            dir_in = dirs
+        dir_enc = _freq_encode_block(
+            dir_in.astype(jnp.float32), cfg.pos_dir_dim, packed.dir_pad
+        )
+    app_w = 0
+    if cfg.appearance_dim > 0 and not cfg.affine_appearance:
+        assert app_embed is not None
+        app_w = app_embed.shape[-1]
+
+    fn = _make_train_fn(
+        cfg, packed.enc_pad, packed.dir_pad, app_w, block, interpret
+    )
+    out = fn(
+        _weights_tuple(packed),
+        pad_to(enc),
+        pad_to(dir_enc),
+        pad_to(app_embed.astype(jnp.float32)) if app_w else None,
+    )[:m]
+
+    rgb = jax.nn.sigmoid(out[:, :3])
+    sigma_pre = out[:, 3:4]
+    if sigma_noise is not None:
+        sigma_pre = sigma_pre + sigma_noise
+    if cfg.shifted_softplus:
+        sigma = jax.nn.softplus(sigma_pre - 1.0)
+    else:
+        sigma = jnp.maximum(sigma_pre, 0.0)
+    return jnp.concatenate([rgb, sigma], axis=-1)

@@ -91,6 +91,12 @@ class RenderSettings:
         return cls(**kw)
 
 
+def _supports_fused_train(cfg) -> bool:
+    from mega_nerf_tpu.render.pallas_train import supports_fused_train
+
+    return supports_fused_train(cfg)
+
+
 def _pallas_eval(bundle, params, flat_xyz, dirs, idx, block: int = 1024):
     """Inference via the fused Pallas MLP kernel (render/pallas_mlp.py),
     padding the point count to a block multiple."""
@@ -155,19 +161,38 @@ def _model_eval(
         # Uniform [0,1) pre-activation density noise (rendering.py:294,321).
         sigma_noise = jax.random.uniform(key, (n * s, 1))
 
-    if (
+    # "auto" engages only where Mosaic compiles natively; on CPU the
+    # kernels would run in (slow) interpret mode, so fall back to XLA
+    # there unless explicitly forced with use_pallas=True.
+    pallas_ok = (
         settings.use_pallas
-        # "auto" engages only where Mosaic compiles natively; on CPU the
-        # kernel would run in (slow) interpret mode, so fall back to XLA
-        # there unless explicitly forced with use_pallas=True.
         and (settings.use_pallas is True or jax.default_backend() == "tpu")
-        and not train
-        and sigma_noise is None
         and settings.sh_deg is None
         and not getattr(bundle, "is_mega", True)
         and not getattr(bundle, "cascade", True)
         and not bundle.config.affine_appearance
-    ):
+    )
+    if pallas_ok and train and _supports_fused_train(bundle.config):
+        # Differentiable fused path (render/pallas_train.py): the kernels
+        # cover the piecewise-linear network; noise + activations are
+        # applied in XLA inside fused_nerf_train_apply.
+        from mega_nerf_tpu.render.pallas_train import fused_nerf_train_apply
+
+        app_embed = None
+        if bundle.config.appearance_dim > 0:
+            table = jnp.asarray(params["appearance"]["embedding"])
+            one_hot = jax.nn.one_hot(
+                idx, table.shape[0], dtype=bundle.config.dtype
+            )
+            app_embed = jnp.dot(
+                one_hot, table.astype(bundle.config.dtype),
+                preferred_element_type=jnp.float32,
+            )
+        out = fused_nerf_train_apply(
+            bundle.config, params, flat_xyz, dirs if use_dirs else None,
+            app_embed, sigma_noise,
+        )
+    elif pallas_ok and not train and sigma_noise is None:
         out = _pallas_eval(bundle, params, flat_xyz,
                            dirs if use_dirs else None, idx)
     else:

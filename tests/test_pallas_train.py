@@ -1,0 +1,142 @@
+"""Fused training kernels (pallas_train.py) vs the Flax forward/backward.
+
+Runs in interpret mode on CPU (tests/conftest.py forces the cpu backend).
+Verifies VALUE and GRADIENT equality against the autodiffed Flax path,
+module-level and through render_rays in train mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mega_nerf_tpu.models import make_nerf
+from mega_nerf_tpu.render.pallas_train import fused_nerf_train_apply
+from tests.test_models import tiny_hparams
+
+
+def _setup(hp_kw, appearance_count=6, n=192):
+    hp = tiny_hparams(**hp_kw)
+    bundle = make_nerf(hp, appearance_count)
+    params = bundle.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    xyz = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    dirs = rng.normal(size=(n, 3))
+    dirs = jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1, keepdims=True),
+                       jnp.float32)
+    idx = jnp.asarray(rng.integers(0, appearance_count, n), jnp.int32)
+    return bundle, params, xyz, dirs, idx
+
+
+def _compare_grads(hp_kw, noise=False, atol=2e-4):
+    bundle, params, xyz, dirs, idx = _setup(hp_kw)
+    cfg = bundle.config
+    use_dirs = cfg.pos_dir_dim > 0
+    use_app = cfg.appearance_dim > 0
+    n = xyz.shape[0]
+    sigma_noise = (
+        jax.random.uniform(jax.random.key(7), (n, 1)) if noise else None
+    )
+    # deterministic "loss" exercising both rgb and sigma outputs
+    probe = jnp.asarray(
+        np.random.default_rng(1).normal(size=(n, 4)), jnp.float32
+    )
+
+    def loss_flax(p):
+        out = bundle.apply(
+            p, "fine", xyz, dirs if use_dirs else None,
+            idx if use_app else None, sigma_noise,
+        )
+        return jnp.sum(out * probe)
+
+    def loss_fused(p):
+        app_embed = None
+        if use_app:
+            table = jnp.asarray(p["appearance"]["embedding"])
+            one_hot = jax.nn.one_hot(idx, table.shape[0], dtype=cfg.dtype)
+            app_embed = jnp.dot(
+                one_hot, table.astype(cfg.dtype),
+                preferred_element_type=jnp.float32,
+            )
+        out = fused_nerf_train_apply(
+            cfg, p, xyz, dirs if use_dirs else None, app_embed, sigma_noise,
+            block=64, interpret=True,
+        )
+        return jnp.sum(out * probe)
+
+    v0, g0 = jax.value_and_grad(loss_flax)(params)
+    v1, g1 = jax.value_and_grad(loss_fused)(params)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-5)
+    flat0 = jax.tree_util.tree_flatten_with_path(g0)[0]
+    flat1 = jax.tree_util.tree_flatten_with_path(g1)[0]
+    assert len(flat0) == len(flat1)
+    for (p0, l0), (p1, l1) in zip(flat0, flat1):
+        assert p0 == p1
+        np.testing.assert_allclose(
+            np.asarray(l0), np.asarray(l1), atol=atol,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(p0)}",
+        )
+
+
+def test_grads_full_model():
+    _compare_grads({"appearance_dim": 4})
+
+
+def test_grads_with_sigma_noise():
+    _compare_grads({"appearance_dim": 4}, noise=True)
+
+
+def test_grads_no_appearance():
+    _compare_grads({"appearance_dim": 0})
+
+
+def test_grads_no_dirs_no_app():
+    _compare_grads({"appearance_dim": 0, "pos_dir_dim": 0})
+
+
+def test_grads_paper_arch_shape():
+    _compare_grads(
+        {
+            "pos_xyz_dim": 12, "pos_dir_dim": 4, "layers": 8,
+            "skip_layers": [4], "layer_dim": 32, "appearance_dim": 8,
+        },
+        atol=5e-4,
+    )
+
+
+def test_render_rays_train_grads_match():
+    """Full train-mode render path: fused vs XLA gradients agree."""
+    from mega_nerf_tpu.models import make_bg_nerf
+    from mega_nerf_tpu.render import RenderSettings, render_rays
+    from tests.test_rendering import _straight_rays
+
+    hp = tiny_hparams(appearance_dim=4)
+    fg = make_nerf(hp, appearance_count=3)
+    bg = make_bg_nerf(hp, appearance_count=3)
+    fp = fg.init(jax.random.key(0))
+    bp = bg.init(jax.random.key(1))
+    rays = _straight_rays(8, far=100.0)
+    idx = jnp.zeros(8, jnp.int32)
+    target = jnp.full((8, 3), 0.5)
+
+    def make_loss(up):
+        settings = RenderSettings(
+            coarse_samples=16, fine_samples=16, use_pallas=up
+        )
+
+        def loss(fp, bp):
+            res, _ = render_rays(
+                fg, bg, fp, bp, rays, idx, settings,
+                sphere_center=jnp.zeros(3), sphere_radius=jnp.ones(3) * 3.0,
+                train=True, key=jax.random.key(2),
+            )
+            return jnp.mean((res["rgb_fine"] - target) ** 2)
+
+        return loss
+
+    (v0, g0) = jax.value_and_grad(make_loss(False), argnums=(0, 1))(fp, bp)
+    (v1, g1) = jax.value_and_grad(make_loss(True), argnums=(0, 1))(fp, bp)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-5)
+    for l0, l1 in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(l0), np.asarray(l1), atol=3e-4
+        )
