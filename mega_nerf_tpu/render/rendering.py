@@ -97,7 +97,25 @@ def _supports_fused_train(cfg) -> bool:
     return supports_fused_train(cfg)
 
 
-def _pallas_eval(bundle, params, flat_xyz, dirs, idx, block: int = 1024):
+def _app_embed_per_ray(cfg, params, image_indices, n, s):
+    """(n,) ray indices -> (n*s, app_dim) embeddings, f32.
+
+    One-hot matmul at RAY granularity (not a row gather — see
+    models.nerf.OneHotEmbed — and not per-point either: the (n*s, count)
+    one-hot costs ~2ms of pure HBM traffic per 786k-point pass, s-fold
+    more than the per-ray one), then broadcast across the sample axis."""
+    table = jnp.asarray(params["appearance"]["embedding"])
+    one_hot = jax.nn.one_hot(image_indices, table.shape[0], dtype=cfg.dtype)
+    app = jnp.dot(
+        one_hot, table.astype(cfg.dtype), preferred_element_type=jnp.float32
+    )  # (n, app_dim)
+    return jnp.broadcast_to(
+        app[:, None], (n, s, app.shape[-1])
+    ).reshape(n * s, app.shape[-1])
+
+
+def _pallas_eval(bundle, params, flat_xyz, dirs, app_embed,
+                 block: int = 1024):
     """Inference via the fused Pallas MLP kernel (render/pallas_mlp.py),
     padding the point count to a block multiple."""
     from mega_nerf_tpu.render.pallas_mlp import fused_nerf_eval, pack_params
@@ -112,17 +130,6 @@ def _pallas_eval(bundle, params, flat_xyz, dirs, idx, block: int = 1024):
         if x is None or pad == 0:
             return x
         return jnp.concatenate([x, jnp.tile(x[-1:], (pad, 1))], axis=0)
-
-    app_embed = None
-    if bundle.config.appearance_dim > 0:
-        # One-hot matmul, not a row gather: per-point gathers from a small
-        # table compile to scalar loops on TPU (see models.nerf.OneHotEmbed).
-        table = jnp.asarray(params["appearance"]["embedding"])
-        one_hot = jax.nn.one_hot(idx, table.shape[0], dtype=bundle.config.dtype)
-        app_embed = jnp.dot(
-            one_hot, table.astype(bundle.config.dtype),
-            preferred_element_type=jnp.float32,
-        ).astype(bundle.config.dtype)
 
     out = fused_nerf_eval(
         packed, pad_to(flat_xyz), pad_to(dirs), pad_to(app_embed), block=block
@@ -180,21 +187,21 @@ def _model_eval(
 
         app_embed = None
         if bundle.config.appearance_dim > 0:
-            table = jnp.asarray(params["appearance"]["embedding"])
-            one_hot = jax.nn.one_hot(
-                idx, table.shape[0], dtype=bundle.config.dtype
-            )
-            app_embed = jnp.dot(
-                one_hot, table.astype(bundle.config.dtype),
-                preferred_element_type=jnp.float32,
+            app_embed = _app_embed_per_ray(
+                bundle.config, params, image_indices, n, s
             )
         out = fused_nerf_train_apply(
             bundle.config, params, flat_xyz, dirs if use_dirs else None,
             app_embed, sigma_noise,
         )
     elif pallas_ok and not train and sigma_noise is None:
+        app_embed = None
+        if bundle.config.appearance_dim > 0:
+            app_embed = _app_embed_per_ray(
+                bundle.config, params, image_indices, n, s
+            ).astype(bundle.config.dtype)
         out = _pallas_eval(bundle, params, flat_xyz,
-                           dirs if use_dirs else None, idx)
+                           dirs if use_dirs else None, app_embed)
     else:
         apply_fn = lambda p, x, d, i, sn: bundle.apply(p, typ, x, d, i, sn)
         if settings.remat:
