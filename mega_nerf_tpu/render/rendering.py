@@ -176,9 +176,14 @@ def _model_eval(
         and (settings.use_pallas is True or jax.default_backend() == "tpu")
         and settings.sh_deg is None
         and not getattr(bundle, "is_mega", True)
-        and not getattr(bundle, "cascade", True)
+        and getattr(bundle, "cascade", None) is not None  # a real bundle
         and not bundle.config.affine_appearance
     )
+    # Cascade bundles hold two independent NeRFs under "coarse"/"fine"
+    # (models/cascade.py); the fused kernels just take the right subtree.
+    p_kernel = None
+    if pallas_ok:
+        p_kernel = params[typ] if bundle.cascade else params
     if pallas_ok and train and _supports_fused_train(bundle.config):
         # Differentiable fused path (render/pallas_train.py): the kernels
         # cover the piecewise-linear network; noise + activations are
@@ -188,19 +193,19 @@ def _model_eval(
         app_embed = None
         if bundle.config.appearance_dim > 0:
             app_embed = _app_embed_per_ray(
-                bundle.config, params, image_indices, n, s
+                bundle.config, p_kernel, image_indices, n, s
             )
         out = fused_nerf_train_apply(
-            bundle.config, params, flat_xyz, dirs if use_dirs else None,
+            bundle.config, p_kernel, flat_xyz, dirs if use_dirs else None,
             app_embed, sigma_noise,
         )
     elif pallas_ok and not train and sigma_noise is None:
         app_embed = None
         if bundle.config.appearance_dim > 0:
             app_embed = _app_embed_per_ray(
-                bundle.config, params, image_indices, n, s
+                bundle.config, p_kernel, image_indices, n, s
             ).astype(bundle.config.dtype)
-        out = _pallas_eval(bundle, params, flat_xyz,
+        out = _pallas_eval(bundle, p_kernel, flat_xyz,
                            dirs if use_dirs else None, app_embed)
     else:
         apply_fn = lambda p, x, d, i, sn: bundle.apply(p, typ, x, d, i, sn)

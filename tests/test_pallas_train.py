@@ -140,3 +140,39 @@ def test_render_rays_train_grads_match():
         np.testing.assert_allclose(
             np.asarray(l0), np.asarray(l1), atol=3e-4
         )
+
+
+def test_render_rays_cascade_train_grads_match():
+    """Cascade bundle routes per-typ params through the fused kernels."""
+    from mega_nerf_tpu.render import RenderSettings, render_rays
+    from tests.test_rendering import _straight_rays
+
+    hp = tiny_hparams(appearance_dim=4, use_cascade=True)
+    fg = make_nerf(hp, appearance_count=3)
+    assert fg.cascade
+    fp = fg.init(jax.random.key(0))
+    rays = _straight_rays(8, far=100.0)
+    idx = jnp.zeros(8, jnp.int32)
+    target = jnp.full((8, 3), 0.5)
+
+    def make_loss(up):
+        settings = RenderSettings(
+            coarse_samples=16, fine_samples=16, use_cascade=True,
+            use_pallas=up,
+        )
+
+        def loss(fp):
+            res, _ = render_rays(
+                fg, None, fp, None, rays, idx, settings,
+                train=True, key=jax.random.key(2),
+            )
+            return (jnp.mean((res["rgb_fine"] - target) ** 2)
+                    + jnp.mean((res["rgb_coarse"] - target) ** 2))
+
+        return loss
+
+    v0, g0 = jax.value_and_grad(make_loss(False))(fp)
+    v1, g1 = jax.value_and_grad(make_loss(True))(fp)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-5)
+    for l0, l1 in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), atol=3e-4)
