@@ -64,13 +64,13 @@ class RenderSettings:
     # trades ~33% more FLOPs for ~10x less activation HBM traffic. Useful for
     # big batches / long sample counts on HBM-bandwidth-bound chips.
     remat: bool = False
-    # Use the fused Pallas MLP kernel for inference-time model evaluation
-    # (render/eval paths; training and mega/cascade bundles fall back to the
-    # XLA path automatically). "auto" (default) = on TPU backends, where the
-    # full render path measures 1.43x faster than the tuned XLA lowering
-    # (96.6 vs 138.6 ms device time for 4096 rays at paper sample counts on
-    # v5e); True = always, even on CPU where the kernel runs in slow
-    # interpret mode (testing); False = XLA. See render/pallas_mlp.py.
+    # Use the fused Pallas MLP kernels for model evaluation: pallas_mlp.py
+    # for eval/render, pallas_train.py (custom VJP) for training. Mega
+    # mixtures, SH heads, and affine appearance fall back to XLA
+    # automatically. "auto" (default) = on TPU backends, where the full
+    # render path measures 1.43x faster than the tuned XLA lowering and the
+    # train step 1.12x; True = always, even on CPU where the kernels run in
+    # slow interpret mode (testing); False = XLA.
     use_pallas: Any = "auto"
     get_depth: bool = False
     get_depth_variance: bool = False
