@@ -101,6 +101,10 @@ class OneHotEmbed(nn.Module):
             (self.num_embeddings, self.features),
             jnp.float32,
         )
+        # Clamp like nn.Embed's take(mode="clip"): an out-of-range index
+        # (e.g. novel-pose renders enumerated past the training set) gets
+        # the nearest row, not a silent all-zero embedding.
+        idx = jnp.clip(idx, 0, self.num_embeddings - 1)
         one_hot = jax.nn.one_hot(idx, self.num_embeddings, dtype=self.dtype)
         return jnp.dot(
             one_hot, table.astype(self.dtype),

@@ -44,6 +44,37 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def supports_fused_kernels(cfg: NeRFConfig) -> bool:
+    """Whether the fused eval/train kernels cover this architecture on TPU.
+
+    The in-kernel row-slice offsets (skip split at enc_pad, dir_a splits at
+    layer_dim / +dir_pad) must be Mosaic sublane-aligned, which holds when
+    layer_dim is lane-aligned. CPU interpret mode has no such restriction
+    (tests run tiny dims). Architecture limits (rgb-only head, no affine
+    appearance) are shared by pack_params."""
+    return (
+        cfg.rgb_dim == 3
+        and not cfg.affine_appearance
+        and (jax.default_backend() != "tpu" or cfg.layer_dim % LANE == 0)
+    )
+
+
+def choose_block(m: int, block: int) -> Tuple[int, int]:
+    """Pick a block size dividing the padded point count -> (block, m_pad)."""
+    block = min(block, m) if m % block != 0 else block
+    m_pad = _round_up(m, block)
+    return block, m_pad
+
+
+def pad_points(x: Optional[jnp.ndarray], m_pad: int) -> Optional[jnp.ndarray]:
+    """Tile the last row up to m_pad rows (kernel grids need m % block == 0)."""
+    if x is None or x.shape[0] == m_pad:
+        return x
+    return jnp.concatenate(
+        [x, jnp.tile(x[-1:], (m_pad - x.shape[0], 1))], axis=0
+    )
+
+
 @dataclasses.dataclass
 class PackedMLP:
     """Padded weight arrays + static layout facts for the kernel."""
@@ -87,10 +118,6 @@ def pack_params(cfg: NeRFConfig, params: Dict[str, Any],
     app_pad = _round_up(cfg.appearance_dim, LANE) if (
         cfg.appearance_dim > 0 and not cfg.affine_appearance
     ) else 0
-
-    def pad_rows(kernel, row_starts):
-        """Pad blocks of rows: kernel built from segments at given offsets."""
-        return kernel
 
     trunk_kernels = []
     trunk_biases = []

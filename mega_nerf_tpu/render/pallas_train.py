@@ -43,7 +43,10 @@ from mega_nerf_tpu.render.pallas_mlp import (
     LANE,
     PackedMLP,
     _freq_encode_block,
+    choose_block,
     pack_params,
+    pad_points,
+    supports_fused_kernels,
 )
 
 
@@ -319,18 +322,8 @@ def _make_train_fn(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_w: int,
     return apply
 
 
-def supports_fused_train(cfg: NeRFConfig) -> bool:
-    """Whether the fused training kernels cover this architecture on TPU.
-
-    The row-slice offsets inside the backward kernel (skip split at
-    enc_pad, dir_a split at layer_dim / +dir_pad) must be Mosaic
-    sublane-aligned, which holds when layer_dim is lane-aligned. CPU
-    interpret mode has no such restriction (tests run tiny dims)."""
-    return (
-        cfg.rgb_dim == 3
-        and not cfg.affine_appearance
-        and (jax.default_backend() != "tpu" or cfg.layer_dim % LANE == 0)
-    )
+# Same coverage rule for forward-only and training kernels.
+supports_fused_train = supports_fused_kernels
 
 
 def fused_nerf_train_apply(
@@ -353,14 +346,7 @@ def fused_nerf_train_apply(
         interpret = jax.default_backend() == "cpu"
     packed = pack_params(cfg, params, cast=False)
     m = xyz.shape[0]
-    block = min(block, m) if m % block != 0 else block
-    m_pad = ((m + block - 1) // block) * block
-    pad = m_pad - m
-
-    def pad_to(x):
-        if x is None or pad == 0:
-            return x
-        return jnp.concatenate([x, jnp.tile(x[-1:], (pad, 1))], axis=0)
+    block, m_pad = choose_block(m, block)
 
     enc = _freq_encode_block(
         xyz.astype(jnp.float32), cfg.pos_xyz_dim, packed.enc_pad
@@ -385,9 +371,9 @@ def fused_nerf_train_apply(
     )
     out = fn(
         _weights_tuple(packed),
-        pad_to(enc),
-        pad_to(dir_enc),
-        pad_to(app_embed.astype(jnp.float32)) if app_w else None,
+        pad_points(enc, m_pad),
+        pad_points(dir_enc, m_pad),
+        pad_points(app_embed.astype(jnp.float32), m_pad) if app_w else None,
     )[:m]
 
     rgb = jax.nn.sigmoid(out[:, :3])

@@ -91,10 +91,20 @@ class RenderSettings:
         return cls(**kw)
 
 
-def _supports_fused_train(cfg) -> bool:
-    from mega_nerf_tpu.render.pallas_train import supports_fused_train
+def _supports_fused(bundle) -> bool:
+    """Eval/train fused-kernel eligibility for this bundle's architecture.
 
-    return supports_fused_train(cfg)
+    Mega mixtures and duck-typed test fakes (no `cascade` attr) are out;
+    real bundles additionally need the kernel shape coverage
+    (pallas_mlp.supports_fused_kernels: rgb head, no affine appearance,
+    lane-aligned layer_dim on TPU)."""
+    if getattr(bundle, "is_mega", True):
+        return False
+    if not hasattr(bundle, "cascade") or not hasattr(bundle, "config"):
+        return False
+    from mega_nerf_tpu.render.pallas_mlp import supports_fused_kernels
+
+    return supports_fused_kernels(bundle.config)
 
 
 def _app_embed_per_ray(cfg, params, image_indices, n, s):
@@ -105,6 +115,8 @@ def _app_embed_per_ray(cfg, params, image_indices, n, s):
     one-hot costs ~2ms of pure HBM traffic per 786k-point pass, s-fold
     more than the per-ray one), then broadcast across the sample axis."""
     table = jnp.asarray(params["appearance"]["embedding"])
+    # Clamp like nn.Embed's take(mode="clip") — see models.nerf.OneHotEmbed.
+    image_indices = jnp.clip(image_indices, 0, table.shape[0] - 1)
     one_hot = jax.nn.one_hot(image_indices, table.shape[0], dtype=cfg.dtype)
     app = jnp.dot(
         one_hot, table.astype(cfg.dtype), preferred_element_type=jnp.float32
@@ -118,21 +130,22 @@ def _pallas_eval(bundle, params, flat_xyz, dirs, app_embed,
                  block: int = 1024):
     """Inference via the fused Pallas MLP kernel (render/pallas_mlp.py),
     padding the point count to a block multiple."""
-    from mega_nerf_tpu.render.pallas_mlp import fused_nerf_eval, pack_params
+    from mega_nerf_tpu.render.pallas_mlp import (
+        choose_block,
+        fused_nerf_eval,
+        pack_params,
+        pad_points,
+    )
 
     packed = pack_params(bundle.config, params)
     m = flat_xyz.shape[0]
-    block = min(block, m) if m % block != 0 else block
-    m_pad = ((m + block - 1) // block) * block
-    pad = m_pad - m
-
-    def pad_to(x):
-        if x is None or pad == 0:
-            return x
-        return jnp.concatenate([x, jnp.tile(x[-1:], (pad, 1))], axis=0)
-
+    block, m_pad = choose_block(m, block)
     out = fused_nerf_eval(
-        packed, pad_to(flat_xyz), pad_to(dirs), pad_to(app_embed), block=block
+        packed,
+        pad_points(flat_xyz, m_pad),
+        pad_points(dirs, m_pad),
+        pad_points(app_embed, m_pad),
+        block=block,
     )
     return out[:m]
 
@@ -175,16 +188,14 @@ def _model_eval(
         settings.use_pallas
         and (settings.use_pallas is True or jax.default_backend() == "tpu")
         and settings.sh_deg is None
-        and not getattr(bundle, "is_mega", True)
-        and getattr(bundle, "cascade", None) is not None  # a real bundle
-        and not bundle.config.affine_appearance
+        and _supports_fused(bundle)
     )
     # Cascade bundles hold two independent NeRFs under "coarse"/"fine"
     # (models/cascade.py); the fused kernels just take the right subtree.
     p_kernel = None
     if pallas_ok:
         p_kernel = params[typ] if bundle.cascade else params
-    if pallas_ok and train and _supports_fused_train(bundle.config):
+    if pallas_ok and train:
         # Differentiable fused path (render/pallas_train.py): the kernels
         # cover the piecewise-linear network; noise + activations are
         # applied in XLA inside fused_nerf_train_apply.
