@@ -47,15 +47,24 @@ def _round_up(x: int, m: int) -> int:
 def supports_fused_kernels(cfg: NeRFConfig) -> bool:
     """Whether the fused eval/train kernels cover this architecture on TPU.
 
-    The in-kernel row-slice offsets (skip split at enc_pad, dir_a splits at
-    layer_dim / +dir_pad) must be Mosaic sublane-aligned, which holds when
-    layer_dim is lane-aligned. CPU interpret mode has no such restriction
-    (tests run tiny dims). Architecture limits (rgb-only head, no affine
-    appearance) are shared by pack_params."""
+    - The in-kernel row-slice offsets (skip split at enc_pad, dir_a splits
+      at layer_dim / +dir_pad) must be Mosaic sublane-aligned, which holds
+      when layer_dim is lane-aligned. CPU interpret mode has no such
+      restriction (tests run tiny dims).
+    - The whole weight set must be VMEM-resident for the entire grid — and
+      the training backward additionally holds f32 weights AND f32 grad
+      accumulators. An 8x2048 model (the `mega-nerf-dense` / `nerf`
+      families) needs ~134 MB of f32 trunk weights alone vs the ~100 MB
+      budget, so anything past 1024 channels falls back to XLA.
+    - Architecture limits (rgb-only head, no affine appearance) are shared
+      by pack_params."""
     return (
         cfg.rgb_dim == 3
         and not cfg.affine_appearance
-        and (jax.default_backend() != "tpu" or cfg.layer_dim % LANE == 0)
+        and (
+            jax.default_backend() != "tpu"
+            or (cfg.layer_dim % LANE == 0 and cfg.layer_dim <= 1024)
+        )
     )
 
 
