@@ -44,7 +44,12 @@ from mega_nerf_tpu.data.image_metadata import ImageMetadata
 from mega_nerf_tpu.data.memory_dataset import generate_image_rays
 from mega_nerf_tpu.data.torch_io import load_pt, save_pt
 from mega_nerf_tpu.ops.rays import get_ray_directions, get_rays_flat
-from mega_nerf_tpu.runtime.logging import main_print, main_tqdm
+from mega_nerf_tpu.runtime.logging import (
+    is_master,
+    main_print,
+    main_tqdm,
+    sync_processes,
+)
 
 
 class FilesystemDataset:
@@ -103,11 +108,21 @@ class FilesystemDataset:
             main_print(f"Reusing {len(existing)} chunks from previous run")
             self._parquet_paths = existing
         else:
+            # Rank-0 writes; everyone else waits then picks up the finished
+            # store (the reference gates this the same way with a barrier,
+            # filesystem_dataset.py:134,267).
             self._parquet_paths = []
-            self._write_chunks(
-                metadata_items, chunk_paths, num_chunks, scale_factor,
-                disk_flush_size,
-            )
+            if is_master():
+                self._write_chunks(
+                    metadata_items, chunk_paths, num_chunks, scale_factor,
+                    disk_flush_size,
+                )
+            sync_processes("chunk_store_written")
+            if not is_master():
+                self._parquet_paths = self._check_existing_paths(
+                    chunk_paths, center_pixels, scale_factor,
+                    len(metadata_items),
+                ) or []
         self._parquet_paths.sort(key=lambda x: x.name)
 
         self.position = 0  # chunks served so far (resume token)
@@ -280,6 +295,13 @@ class FilesystemDataset:
                 ):
                     f.result()
 
+        # Close (flush parquet footers) BEFORE stamping: the metadata.pt
+        # stamp is the completeness guard _check_existing_paths trusts, so
+        # a crash between stamp and close must not leave readable-looking
+        # dirs with footer-less parquet files.
+        for w in writers:
+            w.close()
+
         for chunk_path in chunk_paths:
             stamp = {"images": len(metadata_items), "scale_factor": scale_factor}
             if self._directions is None:
@@ -294,9 +316,6 @@ class FilesystemDataset:
                     ),
                 )
             save_pt(stamp, chunk_path / "metadata.pt")
-
-        for w in writers:
-            w.close()
         main_print("Finished writing chunks to dataset paths")
 
     def _flush(self, executor, rgbs_buf, rays_buf, idx_buf, writers, img_dtype):

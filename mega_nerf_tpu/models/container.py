@@ -215,6 +215,17 @@ def container_to_bundles(
         cfg = nerf_config_from_hparams(
             hparams, appearance_count or 1, layer_dim, xyz_dim
         )
+        # Honor the container's own architecture flags (the reference's
+        # model_utils consumes them, model_utils.py:22-29): a container
+        # trained without viewdirs / appearance must load even when the CLI
+        # is left at defaults (pos_dir_dim=4, appearance_dim=48).
+        overrides = {}
+        if not data.need_viewdir and cfg.pos_dir_dim > 0:
+            overrides["pos_dir_dim"] = 0
+        if not data.need_appearance_embedding and cfg.appearance_dim > 0:
+            overrides["appearance_dim"] = 0
+        if overrides:
+            cfg = dataclasses.replace(cfg, **overrides)
         module = NeRF(cfg)
         stacked = jax.tree.map(
             lambda *xs: np.stack(xs),

@@ -42,8 +42,7 @@ def _ray_cube_span(o: jnp.ndarray, d: jnp.ndarray):
 def _weights_one_camera(
     grid: jnp.ndarray,  # (reso, reso, reso) sigma
     rays_o: jnp.ndarray,  # (P, 3) tree coords
-    rays_d: jnp.ndarray,  # (P, 3) tree coords (unnormalized ok)
-    world_step_scale: jnp.ndarray,  # (P,): tree->world length factor per ray
+    rays_d: jnp.ndarray,  # (P, 3) tree coords, d_world * invradius UNnormalized
     reso: int,
     n_steps: int,
 ) -> jnp.ndarray:
@@ -51,8 +50,14 @@ def _weights_one_camera(
     ts = t_near[:, None] + (t_far - t_near)[:, None] * (
         (jnp.arange(n_steps) + 0.5) / n_steps
     )
-    delta_tree = (t_far - t_near) / n_steps  # (P,)
-    delta_world = delta_tree * world_step_scale
+    # `t` parameterizes BOTH the tree-space and world-space rays (the tree
+    # map is affine and rays_d is the mapped — unnormalized — world dir),
+    # and the world dir has unit length, so a step dt IS dt world units.
+    # (svox normalizes its tree dirs and carries a 1/|d_tree| delta_scale;
+    # with unnormalized dirs that factor must NOT be applied — doing both
+    # inflated deltas by |invradius| and biased the culling weights
+    # whenever the tree radius wasn't exactly 1.)
+    delta_world = (t_far - t_near) / n_steps  # (P,)
 
     pts = rays_o[:, None, :] + rays_d[:, None, :] * ts[..., None]  # (P,S,3)
     idx = jnp.clip((pts * reso).astype(jnp.int32), 0, reso - 1)
@@ -91,28 +96,26 @@ def grid_weight_render_max(
     grid = jnp.asarray(np.asarray(sigmas, np.float32).reshape(reso, reso, reso))
     offset = jnp.asarray(tree_offset, jnp.float32)
     invradius = jnp.asarray(tree_invradius, jnp.float32)
-    # Tree-space directions are world dirs * invradius (anisotropic); a unit
-    # tree-space step corresponds to |d_world| / |d_tree| world units. We
-    # march with unnormalized tree dirs of world-unit length, so the
-    # conversion uses the per-ray dir norms below.
     directions = np.asarray(
         get_ray_directions(w, h, fx, fy, cx, cy, center_pixels=True)
     ).reshape(-1, 3)
 
     maximum = jnp.zeros((reso, reso, reso), jnp.float32)
     for pose in np.asarray(poses, np.float32):
-        rays_d_world = directions @ pose[:, :3].T  # (P, 3), unit length
+        rays_d_world = directions @ pose[:, :3].T  # (P, 3)
+        # Normalize in WORLD space so the shared ray parameter t is world
+        # arc length (see _weights_one_camera).
+        rays_d_world = rays_d_world / np.linalg.norm(
+            rays_d_world, axis=-1, keepdims=True
+        )
         rays_o_world = np.broadcast_to(pose[:, 3], rays_d_world.shape)
         rays_o = jnp.asarray(rays_o_world) * invradius + offset
         rays_d = jnp.asarray(rays_d_world) * invradius
-        # world length per unit tree-t: |d_world| / |d_tree| = 1 / |d_tree|.
-        d_norm = jnp.linalg.norm(rays_d, axis=-1)
 
         for start in range(0, directions.shape[0], pixel_chunk):
             sl = slice(start, start + pixel_chunk)
-            scale = 1.0 / jnp.maximum(d_norm[sl], 1e-9)
             cam_grid = _weights_one_camera(
-                grid, rays_o[sl], rays_d[sl], scale, reso, n_steps
+                grid, rays_o[sl], rays_d[sl], reso, n_steps
             )
             maximum = jnp.maximum(maximum, cam_grid)
 

@@ -68,3 +68,17 @@ class MetricsWriter:
             self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+
+
+def sync_processes(tag: str) -> None:
+    """Cross-process barrier (the reference's dist.barrier, runner.py:55).
+
+    No-op single-process; multi-host it rides a tiny psum over all devices
+    via multihost_utils, so every process reaches `tag` before any proceeds
+    (used around rank-0-only filesystem work: chunk writing, mask dirs).
+    """
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(tag)

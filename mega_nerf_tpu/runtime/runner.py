@@ -167,8 +167,21 @@ class Runner:
             )
 
         # --- Mesh ---
+        cell_axis = getattr(hparams, "cell_axis", 1) or 1
+        if cell_axis > 1:
+            # Runner trains ONE model data-parallel; cell-parallel
+            # multi-submodule training is driven through
+            # parallel/cell_parallel.py (see its docstring and
+            # __graft_entry__.dryrun_multichip). Fail loudly instead of
+            # silently replicating over the cell axis.
+            raise ValueError(
+                "--cell_axis > 1 is the cell-parallel trainer's axis "
+                "(mega_nerf_tpu.parallel.cell_parallel), not Runner's; "
+                "launch per-submodule jobs (parscripts/) or use the "
+                "cell-parallel API for one-program multi-submodule training."
+            )
         self.mesh = make_mesh(
-            cell_axis=getattr(hparams, "cell_axis", 1) or 1,
+            cell_axis=1,
             data_axis=getattr(hparams, "data_axis", None),
         )
 
@@ -319,7 +332,20 @@ class Runner:
 
                 if train_iterations >= hp.train_iterations:
                     break
-            epoch += 1
+            else:
+                # Epoch fully consumed: clear the resume skip marker HERE,
+                # not only after the first non-skipped batch — if the
+                # checkpoint landed exactly on an epoch's final batch, the
+                # resumed epoch skips every batch and the in-loop reset
+                # never runs; without this the next epoch (same indices)
+                # would be skipped too, spinning forever.
+                discard_index = -1
+                epoch += 1
+                continue
+            # Mid-epoch exit: keep `epoch` unchanged so the final checkpoint
+            # records (epoch, last consumed batch_index) — resuming from it
+            # must not skip batches of an epoch that never ran.
+            break
 
         if pbar is not None:
             pbar.close()
@@ -360,7 +386,9 @@ class Runner:
 
     def _run_validation(self, state: TrainState, train_index: int) -> Dict[str, float]:
         val_metrics: Dict[str, float] = {}
-        state = jax.device_get(state)
+        # Keep params on device: a host copy here would re-upload the full
+        # parameter pytree on every image chunk below (render_fn is called
+        # with the same arrays chunk after chunk).
         indices = np.arange(jax.process_index(), len(self.val_items),
                             jax.process_count())
 
@@ -406,6 +434,23 @@ class Runner:
             if self.writer is not None:
                 self.writer.add_image(f"val/{i}", panel, train_index)
 
+        if jax.process_count() > 1:
+            # Sum the per-rank partial sums so the master's average covers
+            # ALL val images, not just its strided shard (the reference
+            # gathers per-rank metric files + barrier, runner.py:495-510).
+            from jax.experimental import multihost_utils
+
+            keys = (
+                "val/psnr", "val/ssim",
+                "val/lpips/vgg", "val/lpips/alex", "val/lpips/squeeze",
+            )
+            vec = np.asarray(
+                [val_metrics.get(k, 0.0) for k in keys], np.float32
+            )
+            total = np.asarray(multihost_utils.process_allgather(vec)).sum(0)
+            val_metrics = {
+                k: float(v) for k, v in zip(keys, total) if v != 0.0
+            }
         return val_metrics
 
     def _write_final_metrics(self, val_metrics: Dict[str, float]) -> None:
@@ -509,10 +554,16 @@ class Runner:
 
     def _make_dataset(self):
         hp = self.hparams
+        # Datasets get a FRESH seed-derived rng, not self.np_rng: the
+        # checkpointed np_rng has advanced past construction-time draws, so
+        # rebuilding a dataset from it on resume would produce different
+        # val-pixel rebalancing / shuffle choices than the original run and
+        # break exact mid-epoch resume.
+        ds_rng = np.random.default_rng(hp.random_seed)
         if hp.dataset_type == "memory":
             return MemoryDataset(
                 self.train_items, self.near, self.far, self.ray_altitude_range,
-                hp.center_pixels, self.np_rng,
+                hp.center_pixels, ds_rng,
             )
         elif hp.dataset_type == "filesystem":
             from mega_nerf_tpu.data.filesystem_dataset import FilesystemDataset
@@ -522,7 +573,7 @@ class Runner:
                 hp.center_pixels,
                 [Path(x) for x in sorted(hp.chunk_paths)],
                 hp.num_chunks, hp.train_scale_factor, hp.disk_flush_size,
-                rng=self.np_rng,
+                rng=ds_rng,
             )
         raise Exception(f"Unrecognized dataset type: {hp.dataset_type}")
 

@@ -33,7 +33,7 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 from mega_nerf_tpu.data.torch_io import load_coordinates, load_mask_zip, load_pt, save_mask_zip, save_pt
 from mega_nerf_tpu.opts import get_opts_base, parse_opts
 from mega_nerf_tpu.ops.rays import get_ray_directions, get_rays
-from mega_nerf_tpu.runtime.logging import main_print, main_tqdm
+from mega_nerf_tpu.runtime.logging import main_print, main_tqdm, sync_processes
 
 
 def _get_mask_opts() -> Namespace:
@@ -145,6 +145,10 @@ def main(hparams: Namespace) -> None:
         if not hparams.resume:
             for j in range(centroids.shape[0]):
                 (output_path / str(j)).mkdir(parents=True)
+    # All ranks wait for rank 0's params.pt + cluster dirs before writing
+    # masks into them (the reference's dist.barrier at
+    # create_cluster_masks.py:104).
+    sync_processes("cluster_mask_dirs")
 
     cluster_dim_start = 1 if hparams.cluster_2d else 0
     centroids_j = jnp.asarray(centroids)

@@ -182,3 +182,28 @@ def test_create_octree_end_to_end(tmp_path):
     assert np.isfinite(data).all()
     assert data[:, 3].max() > 0  # some density baked in
     assert (data[:, :3] >= 0).all() and (data[:, :3] <= 1).all()
+
+
+def test_grid_weight_world_units_with_nonunit_radius():
+    """Per-sample deltas must be WORLD lengths: with a uniform sigma field
+    and a tree radius R != 1, the entry-voxel weight along the central ray
+    is alpha_0 = 1 - exp(-sigma * span_world / n_steps). A tree-arc-length
+    confusion (the svox delta_scale applied to unnormalized dirs) would be
+    off by 1/R here."""
+    reso = 8
+    n_steps = 64
+    sigma_val = 0.7
+    radius = 2.0  # world cube [-2, 2], invradius 0.25
+    sigma = np.full((reso, reso, reso), sigma_val, np.float32)
+    invradius = np.full(3, 0.5 / radius, np.float32)
+    offset = np.full(3, 0.5, np.float32)
+
+    c2w = look_at_drb(np.array([0.0, 0.0, -6.0]))
+    weights = grid_weight_render_max(
+        sigma, c2w[None], [9, 9, 40.0, 40.0, 4.5, 4.5],
+        offset, invradius, reso, n_steps=n_steps,
+    )
+    span_world = 2 * radius  # central ray crosses the full cube
+    expected_alpha0 = 1.0 - np.exp(-sigma_val * span_world / n_steps)
+    got = weights.max()  # uniform field: the entry sample dominates
+    np.testing.assert_allclose(got, expected_alpha0, rtol=0.15)
