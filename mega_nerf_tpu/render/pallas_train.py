@@ -5,12 +5,10 @@ backward; the fused eval kernel (pallas_mlp.py) runs the same forward 2x
 faster than XLA's lowering by keeping every activation VMEM-resident. This
 module extends that to training:
 
-- the FORWARD kernel is the eval kernel minus the output nonlinearities:
-  it emits pre-activation heads [rgb_pre(3), sigma_pre(1)]. Sigma noise,
-  shifted-softplus/relu and the rgb sigmoid are applied OUTSIDE in XLA —
-  they are cheap (m, 4) elementwise ops whose VJPs JAX derives
-  automatically, so the custom kernel pair only has to differentiate a
-  piecewise-linear (relu) network.
+- the FORWARD kernel is the eval kernel plus the sigma-noise add: all
+  output nonlinearities (shifted-softplus/relu, rgb sigmoid) run in-kernel
+  on full 128-lane tiles — done outside in XLA they compile to narrow
+  (m, 4)-shaped fusions worth ~5 ms/step of profile tail.
 - the BACKWARD kernel RECOMPUTES the forward activations block-by-block in
   VMEM (rematerialization: ~1 extra forward of FLOPs instead of streaming
   8 layers of activations through HBM twice) and accumulates weight
@@ -113,11 +111,20 @@ def _forward_core(cfg: NeRFConfig, enc_pad: int, enc, dir_enc, app, ws):
     return hs, sigma_pre, final, branch, rgb_pre
 
 
+def _sigma_activate(cfg, sigma_pre, noise):
+    """Noise add + density activation, full-lane (col 0 is the live one)."""
+    s = sigma_pre + noise  # (B, LANE) + (B, 1) broadcast
+    if cfg.shifted_softplus:
+        return jax.nn.softplus(s - 1.0)
+    return jnp.maximum(s, 0.0)
+
+
 def _train_fwd_kernel(cfg, enc_pad, dir_pad, app_w, *refs):
     it = iter(refs)
     enc = next(it)[...].astype(cfg.dtype)
     dir_enc = next(it)[...].astype(cfg.dtype) if dir_pad else None
     app = next(it)[...].astype(cfg.dtype) if app_w else None
+    noise = next(it)[...]  # (B, 1) f32, zeros when no sigma noise
     n_w = 2 * cfg.layers + 2 + (4 if cfg.uses_dir_branch else 0) + 2
     ws = [next(it)[...] for _ in range(n_w)]
     out_ref = next(it)
@@ -125,8 +132,13 @@ def _train_fwd_kernel(cfg, enc_pad, dir_pad, app_w, *refs):
     _, sigma_pre, _, _, rgb_pre = _forward_core(
         cfg, enc_pad, enc, dir_enc, app, ws
     )
-    lane = lax.broadcasted_iota(jnp.int32, rgb_pre.shape, 1)
-    out = jnp.where(lane == 3, sigma_pre[:, :1], rgb_pre)
+    # Activations live IN the kernel: outside, sigmoid/softplus on (m, 4)-
+    # shaped arrays compile to narrow-lane XLA fusions (~5 ms/step of the
+    # profile tail); here they run on full (B, LANE) tiles for free.
+    sigma = _sigma_activate(cfg, sigma_pre, noise)
+    rgb = jax.nn.sigmoid(rgb_pre)
+    lane = lax.broadcasted_iota(jnp.int32, rgb.shape, 1)
+    out = jnp.where(lane == 3, sigma[:, :1], rgb)
     out_ref[...] = out.astype(out_ref.dtype)
 
 
@@ -136,8 +148,9 @@ def _train_bwd_kernel(cfg, enc_pad, dir_pad, app_w, *refs):
     enc = next(it)[...].astype(cd)
     dir_enc = next(it)[...].astype(cd) if dir_pad else None
     app = next(it)[...].astype(cd) if app_w else None
-    g_rgb = next(it)[...]    # (B, LANE) lanes 0..2 live (pre-activation)
-    g_sigma = next(it)[...]  # (B, LANE) lane 0 live
+    noise = next(it)[...]       # (B, 1) f32
+    g_rgb_out = next(it)[...]   # (B, LANE) lanes 0..2 live (post-activation)
+    g_sigma_out = next(it)[...]  # (B, LANE) lane 0 live (post-activation)
     n_w = 2 * cfg.layers + 2 + (4 if cfg.uses_dir_branch else 0) + 2
     ws = [next(it)[...] for _ in range(n_w)]
     outs = list(it)  # gradient output refs (+ optional d_app first)
@@ -151,10 +164,21 @@ def _train_bwd_kernel(cfg, enc_pad, dir_pad, app_w, *refs):
         for r in grad_refs:
             r[...] = jnp.zeros_like(r)
 
-    hs, _, final, branch, _ = _forward_core(
+    hs, sigma_pre, final, branch, rgb_pre = _forward_core(
         cfg, enc_pad, enc, dir_enc, app, ws
     )
     h_last = hs[-1]
+
+    # Activation backwards, recomputed full-lane from the pre-activations:
+    # d sigmoid = g * s(1-s); d softplus(x-1) = g * sigmoid(x-1).
+    rgb_s = jax.nn.sigmoid(rgb_pre)
+    g_rgb = g_rgb_out * rgb_s * (1.0 - rgb_s)
+    if cfg.shifted_softplus:
+        g_sigma = g_sigma_out * jax.nn.sigmoid(sigma_pre + noise - 1.0)
+    else:
+        g_sigma = g_sigma_out * (
+            (sigma_pre + noise).astype(jnp.float32) > 0
+        ).astype(g_sigma_out.dtype)
 
     wit = iter(range(n_w))
     trunk_idx = [(next(wit), next(wit)) for _ in range(cfg.layers)]
@@ -231,9 +255,9 @@ def _weights_tuple(packed: PackedMLP) -> Tuple[jnp.ndarray, ...]:
 @functools.lru_cache(maxsize=32)
 def _make_train_fn(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_w: int,
                    block: int, interpret: bool):
-    """custom_vjp'd fused apply: (ws, enc, dir_enc, app) -> (m, LANE)."""
+    """custom_vjp'd fused apply: (ws, enc, dir_enc, app, noise) -> (m, LANE)."""
 
-    def fwd_call(ws, enc, dir_enc, app):
+    def fwd_call(ws, enc, dir_enc, app, noise):
         m = enc.shape[0]
         grid = (m // block,)
         point = lambda w: pl.BlockSpec((block, w), lambda i: (i, 0))
@@ -245,6 +269,7 @@ def _make_train_fn(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_w: int,
             inputs.append(dir_enc); specs.append(point(dir_pad))
         if app_w:
             inputs.append(app); specs.append(point(app_w))
+        inputs.append(noise); specs.append(point(1))
         inputs.extend(ws)
         specs.extend(whole(w) for w in ws)
         return pl.pallas_call(
@@ -258,7 +283,7 @@ def _make_train_fn(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_w: int,
                 vmem_limit_bytes=100 * 1024 * 1024),
         )(*inputs)
 
-    def bwd_call(ws, enc, dir_enc, app, g_rgb, g_sigma):
+    def bwd_call(ws, enc, dir_enc, app, noise, g_rgb, g_sigma):
         m = enc.shape[0]
         grid = (m // block,)
         point = lambda w: pl.BlockSpec((block, w), lambda i: (i, 0))
@@ -270,8 +295,8 @@ def _make_train_fn(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_w: int,
             inputs.append(dir_enc); specs.append(point(dir_pad))
         if app_w:
             inputs.append(app); specs.append(point(app_w))
-        inputs += [g_rgb, g_sigma]
-        specs += [point(LANE), point(LANE)]
+        inputs += [noise, g_rgb, g_sigma]
+        specs += [point(1), point(LANE), point(LANE)]
         inputs.extend(ws)
         specs.extend(whole(w) for w in ws)
 
@@ -298,24 +323,27 @@ def _make_train_fn(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_w: int,
         return None, tuple(outs)
 
     @jax.custom_vjp
-    def apply(ws, enc, dir_enc, app):
-        return fwd_call(ws, enc, dir_enc, app)
+    def apply(ws, enc, dir_enc, app, noise):
+        return fwd_call(ws, enc, dir_enc, app, noise)
 
-    def apply_fwd(ws, enc, dir_enc, app):
-        return fwd_call(ws, enc, dir_enc, app), (ws, enc, dir_enc, app)
+    def apply_fwd(ws, enc, dir_enc, app, noise):
+        return fwd_call(ws, enc, dir_enc, app, noise), (
+            ws, enc, dir_enc, app, noise
+        )
 
     def apply_bwd(res, g):
-        ws, enc, dir_enc, app = res
+        ws, enc, dir_enc, app, noise = res
         g = g.astype(jnp.float32)
         lane = lax.broadcasted_iota(jnp.int32, g.shape, 1)
         g_rgb = jnp.where(lane < 3, g, 0.0)
         g_sigma = jnp.pad(g[:, 3:4], ((0, 0), (0, LANE - 1)))
-        d_app, d_ws = bwd_call(ws, enc, dir_enc, app, g_rgb, g_sigma)
+        d_app, d_ws = bwd_call(ws, enc, dir_enc, app, noise, g_rgb, g_sigma)
         return (
             d_ws,
             jnp.zeros_like(enc),
             None if dir_enc is None else jnp.zeros_like(dir_enc),
             None if app is None else d_app,
+            jnp.zeros_like(noise),
         )
 
     apply.defvjp(apply_fwd, apply_bwd)
@@ -366,6 +394,11 @@ def fused_nerf_train_apply(
         assert app_embed is not None
         app_w = app_embed.shape[-1]
 
+    if sigma_noise is None:
+        noise = jnp.zeros((m, 1), jnp.float32)
+    else:
+        noise = sigma_noise.astype(jnp.float32).reshape(m, 1)
+
     fn = _make_train_fn(
         cfg, packed.enc_pad, packed.dir_pad, app_w, block, interpret
     )
@@ -374,14 +407,6 @@ def fused_nerf_train_apply(
         pad_points(enc, m_pad),
         pad_points(dir_enc, m_pad),
         pad_points(app_embed.astype(jnp.float32), m_pad) if app_w else None,
+        pad_points(noise, m_pad),
     )[:m]
-
-    rgb = jax.nn.sigmoid(out[:, :3])
-    sigma_pre = out[:, 3:4]
-    if sigma_noise is not None:
-        sigma_pre = sigma_pre + sigma_noise
-    if cfg.shifted_softplus:
-        sigma = jax.nn.softplus(sigma_pre - 1.0)
-    else:
-        sigma = jnp.maximum(sigma_pre, 0.0)
-    return jnp.concatenate([rgb, sigma], axis=-1)
+    return out[:, :4]  # [sigmoid rgb, activated sigma]
