@@ -1,0 +1,136 @@
+"""Per-cell masked ray streams for one-program cell-parallel training.
+
+The reference trains each spatial submodule as an independent job on its own
+cluster-masked ray stream (`parscripts/run_8.txt`: one train.py per centroid,
+each with `--cluster_mask_path masks/{i}` and its own chunk store). This
+module reproduces those K independent streams inside ONE process and stacks
+them into `(cells, per_cell_batch, ...)` batches for the shard_map'd
+cell-parallel train step (`mega_nerf_tpu.parallel.cell_parallel`):
+
+- each cell gets its own underlying dataset (MemoryDataset, or a
+  FilesystemDataset with a per-cell parquet chunk store — mirroring the
+  reference's per-job `--chunk_paths`);
+- streams cycle independently with per-(cell, epoch) seeded shuffles, so the
+  sample order each cell sees is exactly what an independent job with that
+  seed would see — cells never synchronize on epoch boundaries (they have
+  different stream lengths, and the reference's jobs run for a fixed
+  iteration count, not epochs);
+- stream positions (epoch, batch_index per cell) are checkpointable and
+  deterministically fast-forwardable for exact mid-stream resume.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from mega_nerf_tpu.data.image_metadata import ImageMetadata
+from mega_nerf_tpu.data.memory_dataset import MemoryDataset
+
+
+class _CellStream:
+    """An endless, resumable minibatch stream over one cell's dataset.
+
+    Epoch shuffles are seeded by (seed, epoch, cell) so the stream is a pure
+    function of its position — fast-forward just replays the cheap index
+    bookkeeping, not the data.
+    """
+
+    def __init__(self, dataset, seed: int, cell: int):
+        self._dataset = dataset
+        self._seed = seed
+        self._cell = cell
+        self.epoch = 0
+        self.batch_index = -1
+        self._iter = None
+
+    def _epoch_rng(self) -> np.random.Generator:
+        return np.random.default_rng((self._seed, self.epoch, self._cell))
+
+    def next_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
+        while True:
+            if self._iter is None:
+                self._iter = self._dataset.batches(batch_size, self._epoch_rng())
+            try:
+                batch = next(self._iter)
+                self.batch_index += 1
+                return batch
+            except StopIteration:
+                self._iter = None
+                self.epoch += 1
+                self.batch_index = -1
+
+    def state(self) -> Dict[str, int]:
+        return {"epoch": self.epoch, "batch_index": self.batch_index}
+
+    def set_state(self, state: Dict[str, int], batch_size: int) -> None:
+        """Fast-forward to just past (epoch, batch_index)."""
+        self.epoch = int(state["epoch"])
+        self.batch_index = -1
+        self._iter = None
+        if hasattr(self._dataset, "set_position"):
+            # FilesystemDataset: one epoch == one chunk in the deterministic
+            # cycle; jump the chunk cursor instead of replaying loads.
+            self._dataset.set_position(self.epoch)
+        target = int(state["batch_index"])
+        for _ in range(target + 1):
+            self.next_batch(batch_size)
+
+
+class CellDataset:
+    """K per-cell ray streams -> stacked (cells, per_cell, ...) batches."""
+
+    def __init__(
+        self,
+        cell_items: List[List[ImageMetadata]],
+        near: float,
+        far: float,
+        ray_altitude_range: Optional[Sequence[float]],
+        center_pixels: bool,
+        seed: int,
+        dataset_type: str = "memory",
+        chunk_paths: Optional[List[Path]] = None,
+        num_chunks: int = 200,
+        scale_factor: int = 1,
+        disk_flush_size: int = 10_000_000,
+    ):
+        self.num_cells = len(cell_items)
+        self._streams: List[_CellStream] = []
+        for cell, items in enumerate(cell_items):
+            # Per-cell dataset rng seeded like an independent job would be
+            # (Runner._make_dataset uses default_rng(random_seed)); the cell
+            # index keeps the val-pixel rebalancing draws distinct per cell.
+            ds_rng = np.random.default_rng((seed, cell))
+            if dataset_type == "memory":
+                ds = MemoryDataset(
+                    items, near, far, ray_altitude_range, center_pixels, ds_rng
+                )
+            elif dataset_type == "filesystem":
+                from mega_nerf_tpu.data.filesystem_dataset import FilesystemDataset
+
+                assert chunk_paths, "filesystem cell dataset needs chunk_paths"
+                ds = FilesystemDataset(
+                    items, near, far, ray_altitude_range, center_pixels,
+                    [Path(p) / f"cell{cell}" for p in chunk_paths],
+                    num_chunks, scale_factor, disk_flush_size, rng=ds_rng,
+                )
+            else:
+                raise Exception(f"Unrecognized dataset type: {dataset_type}")
+            self._streams.append(_CellStream(ds, seed, cell))
+
+    def next_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
+        """One (num_cells, batch_size, ...) batch; cells advance independently."""
+        per_cell = [s.next_batch(batch_size) for s in self._streams]
+        return {
+            k: np.stack([b[k] for b in per_cell]) for k in per_cell[0]
+        }
+
+    def state(self) -> List[Dict[str, int]]:
+        return [s.state() for s in self._streams]
+
+    def set_state(self, states: List[Dict[str, int]], batch_size: int) -> None:
+        assert len(states) == self.num_cells, (len(states), self.num_cells)
+        for stream, st in zip(self._streams, states):
+            stream.set_state(st, batch_size)

@@ -185,6 +185,15 @@ class FilesystemDataset:
         """Load the next chunk and yield its shuffled minibatches."""
         chunk = self.load_chunk()
         n = chunk["rgbs"].shape[0]
+        if drop_remainder and n < batch_size:
+            # Fail loudly: a chunk smaller than one batch would yield ZERO
+            # batches and the training loop would spin through chunk loads
+            # forever without taking a step.
+            raise ValueError(
+                f"chunk has {n} rays < batch_size {batch_size}; rewrite the "
+                f"chunk store with fewer chunks (--num_chunks) or shrink the "
+                f"batch"
+            )
         order = rng.permutation(n)
         stop = (n // batch_size) * batch_size if drop_remainder else n
         for start in range(0, stop, batch_size):

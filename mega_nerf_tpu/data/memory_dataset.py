@@ -83,6 +83,11 @@ class MemoryDataset:
         drop_remainder: bool = True,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """One epoch of shuffled minibatches (host numpy, ready to device_put)."""
+        if drop_remainder and len(self) < batch_size:
+            raise ValueError(
+                f"dataset has {len(self)} rays < batch_size {batch_size}: "
+                f"the epoch would contain zero batches"
+            )
         order = rng.permutation(len(self))
         stop = (len(self) // batch_size) * batch_size if drop_remainder else len(self)
         for start in range(0, stop, batch_size):

@@ -38,10 +38,21 @@ def make_mesh(
 
 def shard_batch(mesh: Mesh, batch, with_cell_axis: bool = False):
     """Place a host batch on the mesh: leading axis over 'data' (and 'cell'
-    first when the batch is (cells, per_cell, ...))."""
+    first when the batch is (cells, per_cell, ...)).
+
+    Multi-process correct: each process passes its PROCESS-LOCAL slice of the
+    global batch (the DistributedSampler contract, reference
+    `runner.py:228-233` — global batch divided by world size) and
+    `jax.make_array_from_process_local_data` assembles the global sharded
+    array. Single-process, this is exactly `device_put`.
+    """
     spec = P(("cell", "data")) if not with_cell_axis else P("cell", "data")
     sharding = NamedSharding(mesh, spec)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x), batch
+    )
 
 
 def replicate(mesh: Mesh, tree):

@@ -1,0 +1,330 @@
+"""One-program cell-parallel Mega-NeRF training.
+
+Replaces the reference's whole multi-submodule training fan-out — parscript
+dispatching one `train.py` job per centroid per GPU
+(`/root/reference/parscripts/run_8.txt`) — with a single SPMD program over a
+(cell, data) device mesh:
+
+- cluster masks (from `scripts/create_cluster_masks.py`) define K per-cell
+  ray streams (`data/cell_dataset.py`), exactly the streams K independent
+  jobs with `--cluster_mask_path masks/{i}` would consume;
+- parameters are stacked over a leading cell axis and sharded over 'cell';
+  each cell's gradients all-reduce only over 'data' — nothing crosses the
+  cell axis, matching the reference's zero inter-submodule communication;
+- per-cell checkpoints land in `{exp_name}{i}/{version}/models/{iter}.ckpt`,
+  the exact layout `scripts/merge_submodules.py` consumes
+  (reference `merge_submodules.py:24-77`), so the downstream merge -> octree
+  -> render pipeline is unchanged;
+- resume restacks the K per-cell checkpoints and fast-forwards every cell's
+  stream to its exact batch position.
+
+Usage: `python -m mega_nerf_tpu.train_cells --cluster_mask_path <masks_root>
+--exp_name <prefix> --cell_axis K ...` where masks_root holds params.pt and
+the per-cell mask dirs 0..K-1.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from argparse import Namespace
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from mega_nerf_tpu.data.cell_dataset import CellDataset
+from mega_nerf_tpu.data.image_metadata import ImageMetadata
+from mega_nerf_tpu.data.torch_io import load_pt
+from mega_nerf_tpu.parallel.cell_parallel import (
+    make_cell_parallel_train_step,
+    make_cell_train_state,
+)
+from mega_nerf_tpu.parallel.mesh import shard_batch, shard_over_cells
+from mega_nerf_tpu.parallel.train_step import (
+    TrainState,
+    make_optimizer,
+    make_train_state,
+)
+from mega_nerf_tpu.render.rendering import RenderSettings
+from mega_nerf_tpu.runtime import checkpoints as ckpt_io
+from mega_nerf_tpu.runtime.logging import MetricsWriter, main_print
+from mega_nerf_tpu.runtime.runner import METRICS_CHECK_INTERVAL, Runner
+
+
+class CellRunner(Runner):
+    """Trains ALL submodules of a Mega-NeRF in one jitted program.
+
+    `hparams.cluster_mask_path` must be the masks ROOT (the directory
+    containing params.pt and per-cell subdirs 0..K-1) — each cell trains on
+    the stream an independent job pointed at `masks/{i}` would see.
+    `hparams.exp_name` is the per-cell experiment PREFIX: cell i writes to
+    `{exp_name}{i}/`, which is what merge_submodules' --ckpt_prefix expects.
+    """
+
+    _cell_parallel = True
+
+    def __init__(self, hparams: Namespace):
+        mask_root = Path(hparams.cluster_mask_path)
+        params = load_pt(mask_root / "params.pt")
+        grid_dim = [int(x) for x in params["grid_dim"]]
+        self.num_cells = grid_dim[0] * grid_dim[1]
+        self.mask_root = mask_root
+
+        cell_axis = getattr(hparams, "cell_axis", 1) or 1
+        assert self.num_cells % cell_axis == 0, (
+            f"{self.num_cells} cells must divide over cell_axis={cell_axis}"
+        )
+
+        # Base init does scene setup / model build / mesh with NO mask (the
+        # mask root is not a per-cell mask dir); per-cell masks are applied
+        # to cloned metadata below. Cluster-vs-scene param validation
+        # (reference runner.py:96-105) still runs against the root params.pt
+        # because Runner checks `Path(cluster_mask_path).parent/params.pt`
+        # and we pass `mask_root/0` for that check.
+        hparams.cluster_mask_path = str(mask_root / "0")
+        super().__init__(hparams, set_experiment_path=False)
+        hparams.cluster_mask_path = str(mask_root)
+
+        # Per-cell metadata: same images, per-cell cluster masks (what
+        # `--cluster_mask_path masks/{i}` gives an independent job).
+        self.cell_items: List[List[ImageMetadata]] = []
+        for cell in range(self.num_cells):
+            items = []
+            for item in self.train_items:
+                mask = (
+                    None
+                    if (item.is_val and hparams.all_val)
+                    else mask_root / str(cell) / f"{item.image_path.stem}.pt"
+                )
+                items.append(
+                    ImageMetadata(
+                        item.image_path, item.c2w, item.W, item.H,
+                        item.intrinsics, item.image_index, mask, item.is_val,
+                    )
+                )
+            self.cell_items.append(items)
+
+        # Per-cell experiment dirs: {exp_name}{i}/{version} (the reference's
+        # per-job layout that merge_submodules walks).
+        self.exp_prefix = str(Path(hparams.exp_name).absolute())
+        if self.is_master:
+            versions = []
+            for cell in range(self.num_cells):
+                exp_dir = Path(f"{self.exp_prefix}{cell}")
+                exp_dir.mkdir(parents=True, exist_ok=True)
+                existing = [
+                    int(x.name) for x in exp_dir.iterdir() if x.name.isdigit()
+                ]
+                versions.append(0 if not existing else max(existing) + 1)
+            # One aligned version number across cells (a fresh joint run).
+            self.version = max(versions)
+            self.cell_paths = [
+                Path(f"{self.exp_prefix}{cell}") / str(self.version)
+                for cell in range(self.num_cells)
+            ]
+        else:
+            self.version = None
+            self.cell_paths = []
+
+    # ------------------------------------------------------------------ train
+
+    def train(self) -> None:
+        hp = self.hparams
+        self._setup_cell_experiment_dirs()
+
+        optimizer = make_optimizer(hp.lr, hp.lr_decay_factor, hp.train_iterations)
+        settings = RenderSettings.from_hparams(hp)
+        use_appearance = hp.appearance_dim > 0
+
+        state = make_cell_train_state(
+            self.fg, self.bg, optimizer, self.init_key, self.num_cells
+        )
+
+        train_iterations = 0
+        stream_states: Optional[List[Dict[str, int]]] = None
+        if hp.ckpt_path is not None:
+            state, train_iterations, stream_states = self._restore_cells(
+                hp.ckpt_path, optimizer
+            )
+            main_print(
+                f"Resumed {self.num_cells} cells from {hp.ckpt_path} "
+                f"at iteration {train_iterations}"
+            )
+
+        step_fn = jax.jit(
+            make_cell_parallel_train_step(
+                self.fg, self.bg, settings, optimizer, self.mesh,
+                self.sphere_center, self.sphere_radius,
+                use_appearance=use_appearance,
+            ),
+            donate_argnums=(0,),
+        )
+
+        dataset = CellDataset(
+            self.cell_items, self.near, self.far, self.ray_altitude_range,
+            hp.center_pixels, hp.random_seed,
+            dataset_type=hp.dataset_type,
+            chunk_paths=(
+                [Path(x) for x in sorted(hp.chunk_paths)]
+                if hp.chunk_paths else None
+            ),
+            num_chunks=hp.num_chunks,
+            scale_factor=hp.train_scale_factor,
+            disk_flush_size=hp.disk_flush_size,
+        )
+        if stream_states is not None and hp.resume_ckpt_state:
+            dataset.set_state(stream_states, hp.batch_size)
+
+        state = shard_over_cells(self.mesh, state)
+
+        from tqdm import tqdm as _tqdm
+
+        pbar = (
+            _tqdm(total=hp.train_iterations, initial=train_iterations)
+            if self.is_master else None
+        )
+        metrics_host: Dict[str, np.ndarray] = {}
+        throughput_t0 = None
+        throughput_step0 = train_iterations
+        while train_iterations < hp.train_iterations:
+            batch = dataset.next_batch(hp.batch_size)
+            batch = shard_batch(self.mesh, batch, with_cell_axis=True)
+            state, metrics = step_fn(state, batch)
+            if self._serialize_dispatch:
+                jax.block_until_ready(metrics)
+            train_iterations += 1
+
+            if train_iterations % METRICS_CHECK_INTERVAL == 0 or (
+                train_iterations >= hp.train_iterations
+            ):
+                # metrics are (num_cells,) per key.
+                metrics_host = {k: np.asarray(v) for k, v in metrics.items()}
+                for k, v in metrics_host.items():
+                    finite = np.isfinite(v) | (k == "psnr")
+                    if not finite.all():
+                        raise Exception(
+                            f"Train metrics not finite in {k}: {v.tolist()}"
+                        )
+                now = time.perf_counter()
+                if throughput_t0 is not None and self.writer is not None:
+                    rays_per_sec = (
+                        (train_iterations - throughput_step0)
+                        * hp.batch_size * self.num_cells
+                        / (now - throughput_t0)
+                    )
+                    self.writer.add_scalar(
+                        "train/rays_per_sec", rays_per_sec, train_iterations
+                    )
+                throughput_t0 = now
+                throughput_step0 = train_iterations
+                if self.writer is not None:
+                    for k, v in metrics_host.items():
+                        self.writer.add_scalar(
+                            f"train/{k}", float(v.mean()), train_iterations
+                        )
+                        for cell in range(self.num_cells):
+                            self.writer.add_scalar(
+                                f"train/{k}/cell{cell}", float(v[cell]),
+                                train_iterations,
+                            )
+
+            if pbar is not None:
+                pbar.update(1)
+                if metrics_host:
+                    pbar.set_postfix(
+                        psnr=f"{np.mean(metrics_host.get('psnr', 0)):.2f}"
+                    )
+
+            if (
+                train_iterations % hp.ckpt_interval == 0
+                and self.is_master
+            ):
+                self._save_cell_checkpoints(
+                    state, train_iterations, dataset.state()
+                )
+
+        if pbar is not None:
+            pbar.close()
+        if self.is_master:
+            self._save_cell_checkpoints(
+                state, train_iterations, dataset.state()
+            )
+        if self.writer is not None:
+            self.writer.flush()
+        self.final_state = jax.device_get(state)
+
+    # ------------------------------------------------------------- checkpoints
+
+    def _save_cell_checkpoints(
+        self,
+        state: TrainState,
+        train_index: int,
+        stream_states: List[Dict[str, int]],
+    ) -> None:
+        """K per-cell checkpoints in Runner's format at the merge layout."""
+        host = jax.device_get(state)
+        for cell in range(self.num_cells):
+            cell_state = jax.tree.map(lambda x: np.asarray(x)[cell], host)
+            aux = {
+                "iteration": train_index,
+                "dataset_state": stream_states[cell],
+                "np_rng_state": self.np_rng.bit_generator.state,
+                "cell_index": cell,
+                "num_cells": self.num_cells,
+                "exp_prefix": self.exp_prefix,
+            }
+            model_dir = self.cell_paths[cell] / "models"
+            model_dir.mkdir(parents=True, exist_ok=True)
+            ckpt_io.save_checkpoint(
+                model_dir / f"{train_index}.ckpt", cell_state, aux
+            )
+
+    def _restore_cells(self, ckpt_path: str, optimizer):
+        """Restack K per-cell checkpoints given ANY one of them (siblings are
+        derived from the exp_prefix recorded in the aux)."""
+        ckpt_path = Path(ckpt_path)
+        aux0 = ckpt_io.load_checkpoint_aux(ckpt_path)
+        assert aux0.get("num_cells") == self.num_cells, (
+            f"checkpoint is for {aux0.get('num_cells')} cells, "
+            f"this run has {self.num_cells}"
+        )
+        prefix = aux0["exp_prefix"]
+        version = ckpt_path.parent.parent.name
+        iteration = int(aux0["iteration"])
+
+        template = make_train_state(self.fg, self.bg, optimizer, self.init_key)
+        per_cell, stream_states = [], []
+        for cell in range(self.num_cells):
+            path = (
+                Path(f"{prefix}{cell}") / version / "models" / ckpt_path.name
+            )
+            cell_state, aux = ckpt_io.load_checkpoint(path, template)
+            assert aux["cell_index"] == cell, (path, aux["cell_index"])
+            per_cell.append(cell_state)
+            stream_states.append(aux["dataset_state"])
+        _, np_rng = ckpt_io.rng_state_from_aux(aux0)
+        if np_rng is not None:
+            self.np_rng = np_rng
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *per_cell)
+        return stacked, iteration, stream_states
+
+    # ------------------------------------------------------------------ setup
+
+    def _setup_cell_experiment_dirs(self) -> None:
+        if self.is_master:
+            for cell, cell_path in enumerate(self.cell_paths):
+                cell_path.mkdir(parents=True, exist_ok=True)
+                with (cell_path / "hparams.txt").open("w") as f:
+                    for key, val in vars(self.hparams).items():
+                        f.write(f"{key}: {val}\n")
+                with (cell_path / "command.txt").open("w") as f:
+                    f.write(" ".join(sys.argv) + "\n")
+                with (cell_path / "image_indices.txt").open("w") as f:
+                    for item in self.cell_items[cell]:
+                        f.write(f"{item.image_index},{item.image_path.name}\n")
+        self.writer = (
+            MetricsWriter(self.cell_paths[0] / "tb")
+            if self.is_master else None
+        )

@@ -51,6 +51,10 @@ METRICS_CHECK_INTERVAL = 100  # steps between host-side non-finite guards
 
 
 class Runner:
+    # CellRunner (one-program multi-submodule training) flips this to build
+    # a (cell, data) mesh; the base Runner is strictly single-model.
+    _cell_parallel = False
+
     def __init__(self, hparams: Namespace, set_experiment_path: bool = True):
         self.hparams = hparams
         self.is_master = is_master()
@@ -168,20 +172,19 @@ class Runner:
 
         # --- Mesh ---
         cell_axis = getattr(hparams, "cell_axis", 1) or 1
-        if cell_axis > 1:
-            # Runner trains ONE model data-parallel; cell-parallel
-            # multi-submodule training is driven through
-            # parallel/cell_parallel.py (see its docstring and
-            # __graft_entry__.dryrun_multichip). Fail loudly instead of
-            # silently replicating over the cell axis.
+        if cell_axis > 1 and not self._cell_parallel:
+            # Runner trains ONE model data-parallel; one-program
+            # multi-submodule training is CellRunner's job
+            # (mega_nerf_tpu.runtime.cell_runner / train_cells.py). Fail
+            # loudly instead of silently replicating over the cell axis.
             raise ValueError(
-                "--cell_axis > 1 is the cell-parallel trainer's axis "
-                "(mega_nerf_tpu.parallel.cell_parallel), not Runner's; "
-                "launch per-submodule jobs (parscripts/) or use the "
-                "cell-parallel API for one-program multi-submodule training."
+                "--cell_axis > 1 is the cell-parallel trainer's axis; use "
+                "`python -m mega_nerf_tpu.train_cells` (one-program "
+                "multi-submodule training) or launch per-submodule jobs "
+                "(parscripts/)."
             )
         self.mesh = make_mesh(
-            cell_axis=1,
+            cell_axis=cell_axis if self._cell_parallel else 1,
             data_axis=getattr(hparams, "data_axis", None),
         )
 
@@ -358,6 +361,8 @@ class Runner:
         if hp.cluster_mask_path is None:
             val_metrics = self._run_validation(state, train_iterations)
             self._write_final_metrics(val_metrics)
+        if self.writer is not None:
+            self.writer.flush()
         self.final_state = jax.device_get(state)
 
     def make_eval_state(self) -> TrainState:
