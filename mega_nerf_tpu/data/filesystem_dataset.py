@@ -23,7 +23,16 @@ TPU-native redesign of the runtime behavior:
   load-current/kick-next future discipline (`filesystem_dataset.py:70-77`);
 - resumable: `position` counts chunks served; `set_position` fast-forwards
   the deterministic cycle (the reference stores the chosen path,
-  `filesystem_dataset.py:79-84`).
+  `filesystem_dataset.py:79-84`);
+- multi-process feeding: with P processes, `batches()` yields each process a
+  disjoint (global_batch/P)-row slice. Two modes: when the store's stamp
+  records per-chunk row counts (stores we write), each process streams its
+  OWN chunks (`paths[e*P+p mod N]`) so read bandwidth scales with hosts
+  (SURVEY §7's v4-32 feeding requirement), with the per-epoch batch count
+  derived from the stamp so all processes stay step-aligned with zero
+  communication; otherwise (reference-written stores) every process reads
+  the same chunk and takes its slice of one global shuffle — exactly the
+  reference's DistributedSampler contract (`runner.py:228-233`).
 """
 
 from __future__ import annotations
@@ -84,7 +93,7 @@ class FilesystemDataset:
                 f"All intrinsics identical: W: {metadata_items[0].W} "
                 f"H: {metadata_items[0].H}, intrinsics: {metadata_items[0].intrinsics}"
             )
-            cpu = jax.devices("cpu")[0]
+            cpu = jax.local_devices(backend="cpu")[0]  # local: never a peer process device
             with jax.default_device(cpu):
                 self._directions = np.asarray(
                     get_ray_directions(
@@ -125,6 +134,22 @@ class FilesystemDataset:
                 ) or []
         self._parquet_paths.sort(key=lambda x: x.name)
 
+        # Multi-process feeding mode (see module docstring).
+        self._process_index = jax.process_index()
+        self._process_count = jax.process_count()
+        self._chunk_rows = self._load_chunk_rows(chunk_paths)
+        self._shard_chunks = (
+            self._process_count > 1
+            and self._chunk_rows is not None
+            and len(self._parquet_paths) >= self._process_count
+        )
+        if self._process_count > 1:
+            main_print(
+                "Multi-process data feeding: "
+                + ("per-host chunk streams"
+                   if self._shard_chunks else "shared chunks, sliced shuffle")
+            )
+
         self.position = 0  # chunks served so far (resume token)
         self._executor = ThreadPoolExecutor(max_workers=1)
         self._future = self._executor.submit(self._load_chunk_inner, 0)
@@ -132,7 +157,31 @@ class FilesystemDataset:
     # ------------------------------------------------------------------ read
 
     def _chunk_for(self, position: int) -> Path:
-        return self._parquet_paths[position % len(self._parquet_paths)]
+        n = len(self._parquet_paths)
+        if self._shard_chunks:
+            return self._parquet_paths[
+                (position * self._process_count + self._process_index) % n
+            ]
+        return self._parquet_paths[position % n]
+
+    def _aligned_num_batches(self, position: int, batch_size: int) -> int:
+        """Per-epoch batch count, identical on every process.
+
+        In chunk-stream mode processes hold different-sized chunks; the
+        count is the min over the P chunks of this epoch, computed from the
+        stamp's row counts so no communication is needed.
+        """
+        local = batch_size // self._process_count
+        n = len(self._parquet_paths)
+        rows = [
+            self._chunk_rows[
+                self._parquet_paths[
+                    (position * self._process_count + p) % n
+                ].name
+            ]
+            for p in range(self._process_count)
+        ]
+        return min(rows) // local
 
     def set_position(self, position: int) -> None:
         """Fast-forward the deterministic chunk cycle (checkpoint resume)."""
@@ -157,7 +206,7 @@ class FilesystemDataset:
 
         if self._directions is not None:
             pixel_indices = table["pixel_indices"].to_numpy()
-            cpu = jax.devices("cpu")[0]
+            cpu = jax.local_devices(backend="cpu")[0]  # local: never a peer process device
             with jax.default_device(cpu):
                 rays = np.asarray(
                     get_rays_flat(
@@ -182,10 +231,17 @@ class FilesystemDataset:
         rng: np.random.Generator,
         drop_remainder: bool = True,
     ) -> Iterator[Dict[str, np.ndarray]]:
-        """Load the next chunk and yield its shuffled minibatches."""
+        """Load the next chunk and yield its shuffled minibatches.
+
+        `batch_size` is the GLOBAL batch; with P processes each yields its
+        disjoint batch_size/P-row slice, step-aligned across processes."""
+        P = self._process_count
+        assert batch_size % P == 0, (batch_size, P)
+        local = batch_size // P
+        epoch_position = self.position
         chunk = self.load_chunk()
         n = chunk["rgbs"].shape[0]
-        if drop_remainder and n < batch_size:
+        if drop_remainder and n < batch_size and not self._shard_chunks:
             # Fail loudly: a chunk smaller than one batch would yield ZERO
             # batches and the training loop would spin through chunk loads
             # forever without taking a step.
@@ -195,9 +251,27 @@ class FilesystemDataset:
                 f"batch"
             )
         order = rng.permutation(n)
-        stop = (n // batch_size) * batch_size if drop_remainder else n
-        for start in range(0, stop, batch_size):
-            sel = order[start : start + batch_size]
+        if self._shard_chunks:
+            # Own chunk per process; stamp-derived count keeps steps aligned.
+            num_batches = self._aligned_num_batches(epoch_position, batch_size)
+            if drop_remainder and num_batches == 0:
+                raise ValueError(
+                    f"epoch {epoch_position}: smallest chunk in this cycle "
+                    f"step < per-process batch {local}; use fewer chunks"
+                )
+            starts = [b * local for b in range(num_batches)]
+            sel_of = lambda start: order[start : start + local]
+        else:
+            # Same chunk everywhere; per-process slice of one global shuffle
+            # (the reference's DistributedSampler, runner.py:228-233).
+            stop = (n // batch_size) * batch_size if drop_remainder else n
+            starts = list(range(0, stop, batch_size))
+            sel_of = lambda start: order[
+                start + self._process_index * local
+                : start + (self._process_index + 1) * local
+            ]
+        for start in starts:
+            sel = sel_of(start)
             yield {
                 "rgbs": chunk["rgbs"][sel].astype(np.float32) / 255.0,
                 "rays": chunk["rays"][sel],
@@ -255,6 +329,7 @@ class FilesystemDataset:
                 index += 1
         main_print(f"{index} chunks allocated")
 
+        self._written_rows = [0] * len(writers)
         rgbs_buf: List[np.ndarray] = []
         rays_buf: List[np.ndarray] = []
         idx_buf: List[np.ndarray] = []
@@ -311,8 +386,17 @@ class FilesystemDataset:
         for w in writers:
             w.close()
 
+        rows_by_name = {
+            p.name: r for p, r in zip(self._parquet_paths, self._written_rows)
+        }
         for chunk_path in chunk_paths:
             stamp = {"images": len(metadata_items), "scale_factor": scale_factor}
+            # Per-chunk row counts let multi-process runs stream disjoint
+            # chunks with step-aligned batch counts (no communication).
+            stamp["chunk_rows"] = {
+                p.name: rows_by_name[p.name]
+                for p in self._parquet_paths if p.parent == chunk_path
+            }
             if self._directions is None:
                 stamp.update(
                     near=self._near,
@@ -342,6 +426,11 @@ class FilesystemDataset:
         num_chunks = len(writers)
         chunk_size = math.ceil(rgbs.shape[0] / num_chunks)
 
+        for i in range(num_chunks):
+            lo = min(i * chunk_size, rgbs.shape[0])
+            hi = min((i + 1) * chunk_size, rgbs.shape[0])
+            self._written_rows[i] += hi - lo
+
         def append(i: int) -> None:
             sl = slice(i * chunk_size, (i + 1) * chunk_size)
             columns = {"img_indices": indices[sl].astype(img_dtype)}
@@ -357,6 +446,21 @@ class FilesystemDataset:
         return [executor.submit(append, i) for i in range(num_chunks)]
 
     # ------------------------------------------------------------------ misc
+
+    @staticmethod
+    def _load_chunk_rows(chunk_paths: List[Path]) -> Optional[Dict[str, int]]:
+        """name -> rows from the stamps, or None for stores that predate the
+        field (e.g. written by the reference implementation)."""
+        rows: Dict[str, int] = {}
+        for chunk_path in chunk_paths:
+            stamp_path = chunk_path / "metadata.pt"
+            if not stamp_path.exists():
+                return None
+            stamp = load_pt(stamp_path)
+            if "chunk_rows" not in stamp:
+                return None
+            rows.update({str(k): int(v) for k, v in stamp["chunk_rows"].items()})
+        return rows
 
     def _check_existing_paths(
         self,

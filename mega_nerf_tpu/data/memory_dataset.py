@@ -29,7 +29,7 @@ def generate_image_rays(
     center_pixels: bool,
 ) -> np.ndarray:
     """All rays for one image -> (H*W, 8) float32, computed on host CPU."""
-    cpu = jax.devices("cpu")[0]
+    cpu = jax.local_devices(backend="cpu")[0]  # local: never a peer process device
     with jax.default_device(cpu):
         directions = get_ray_directions(
             metadata.W,
@@ -82,16 +82,24 @@ class MemoryDataset:
         rng: np.random.Generator,
         drop_remainder: bool = True,
     ) -> Iterator[Dict[str, np.ndarray]]:
-        """One epoch of shuffled minibatches (host numpy, ready to device_put)."""
+        """One epoch of shuffled minibatches (host numpy, ready to device_put).
+
+        `batch_size` is the GLOBAL batch; with P processes each process
+        yields its disjoint batch_size/P-row slice of the same global
+        shuffle (the reference's DistributedSampler, `runner.py:228-233`)."""
         if drop_remainder and len(self) < batch_size:
             raise ValueError(
                 f"dataset has {len(self)} rays < batch_size {batch_size}: "
                 f"the epoch would contain zero batches"
             )
+        P = jax.process_count()
+        assert batch_size % P == 0, (batch_size, P)
+        local = batch_size // P
+        offset = jax.process_index() * local
         order = rng.permutation(len(self))
         stop = (len(self) // batch_size) * batch_size if drop_remainder else len(self)
         for start in range(0, stop, batch_size):
-            sel = order[start : start + batch_size]
+            sel = order[start + offset : start + offset + local]
             yield {
                 "rgbs": self.rgbs[sel].astype(np.float32) / 255.0,
                 "rays": self.rays[sel],

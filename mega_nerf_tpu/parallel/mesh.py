@@ -47,22 +47,34 @@ def shard_batch(mesh: Mesh, batch, with_cell_axis: bool = False):
     array. Single-process, this is exactly `device_put`.
     """
     spec = P(("cell", "data")) if not with_cell_axis else P("cell", "data")
-    sharding = NamedSharding(mesh, spec)
-    if jax.process_count() == 1:
-        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
-    return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(sharding, x), batch
-    )
+    return _place(mesh, batch, spec)
 
 
 def replicate(mesh: Mesh, tree):
-    """Fully replicate a pytree over the mesh."""
-    sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    """Fully replicate a pytree over the mesh. Multi-process: every process
+    must pass the same values (params from the same seed / checkpoint)."""
+    return _place(mesh, tree, P())
 
 
 def shard_over_cells(mesh: Mesh, tree):
     """Shard a stacked (leading axis = cell) pytree over the 'cell' axis,
-    replicated over 'data'."""
-    sharding = NamedSharding(mesh, P("cell"))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    replicated over 'data'. Multi-process: every process passes the full
+    stacked tree; each keeps only its addressable cells."""
+    return _place(mesh, tree, P("cell"))
+
+
+def _place(mesh: Mesh, tree, spec: P):
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    # device_put onto a multi-host sharding would allgather-verify host
+    # values (slow) or reject host-local data outright;
+    # make_array_from_process_local_data is the supported assembly path.
+    # For replicated dims it expects the full value on every process, which
+    # is exactly what our callers pass.
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        tree,
+    )

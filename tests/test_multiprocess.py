@@ -1,0 +1,60 @@
+"""REAL 2-process distributed test: spawns two jax.distributed CPU processes
+(4 virtual devices each -> one 8-device global mesh) and drives training,
+validation, and both FilesystemDataset multi-process feeding modes through
+them (see tests/multiprocess_worker.py).
+
+The reference's equivalent capability is torch.distributed multi-GPU DDP
+(`runner.py:54-57`), which it never tests; here the multi-host placement
+(jax.make_array_from_process_local_data), the DistributedSampler-equivalent
+batch slicing, and the allgather eval protocol run for real, in CI, on CPU.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+
+def test_two_process_training_and_data(tmp_path):
+    port = 53000 + os.getpid() % 2000
+    workdir = tmp_path / "mp"
+    workdir.mkdir()
+    worker = Path(__file__).parent / "multiprocess_worker.py"
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port), str(workdir)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out.decode(errors="replace"))
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+
+    results = []
+    for i in range(2):
+        with open(workdir / f"result_{i}.json") as f:
+            results.append(json.load(f))
+
+    # SPMD training keeps replicated params bitwise identical across hosts.
+    assert results[0]["param_hash"] == results[1]["param_hash"]
+    # Master wrote the final aggregated metrics.
+    assert results[0]["final_metrics_exists"]
+    # Both feeding modes: nonzero step-aligned epochs, zero row overlap.
+    for tag in ("chunk_stream", "shared_chunk"):
+        for r in results:
+            assert all(c > 0 for c in r[f"{tag}_batches_per_epoch"])
+            assert all(o == 0 for o in r[f"{tag}_overlap_rows"])
+    # Chunk-stream mode really did hand different chunks to each process:
+    # with 4 chunks over 2 processes the per-epoch counts are stamp-aligned.
+    assert results[0]["chunk_stream_batches_per_epoch"] == \
+        results[1]["chunk_stream_batches_per_epoch"]
