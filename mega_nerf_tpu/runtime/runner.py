@@ -472,11 +472,26 @@ class Runner:
     # ---------------------------------------------------------------- render
 
     def _get_eval_render_fn(self):
+        """Eval render jitted over a LOCAL data mesh: every chip this process
+        owns renders a slice of each ray chunk (params replicated, rays
+        sharded). The reference leaves all but one GPU idle during
+        validation/flythroughs (`runner.py:540-589` is single-device); here
+        an 8-chip host renders 8x faster. The mesh is local (not the global
+        training mesh) because eval images are strided per process
+        (reference `runner.py:395-403`) — each process renders whole images
+        independently."""
         if self._eval_render_fn is None:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
             hp = self.hparams
             settings = RenderSettings.from_hparams(
                 hp, get_depth=True, get_bg_fg_rgb=True
             )
+
+            local = np.array(jax.local_devices())
+            self._eval_mesh = Mesh(local, ("ldata",))
+            self._eval_replicated = NamedSharding(self._eval_mesh, P())
+            sharded = NamedSharding(self._eval_mesh, P("ldata"))
 
             def fn(fg_params, bg_params, rays, image_indices):
                 results, _ = render_rays(
@@ -486,8 +501,34 @@ class Runner:
                 )
                 return results
 
-            self._eval_render_fn = jax.jit(fn)
+            self._eval_render_fn = jax.jit(
+                fn,
+                in_shardings=(
+                    self._eval_replicated, self._eval_replicated,
+                    sharded, sharded,
+                ),
+            )
         return self._eval_render_fn
+
+    def _eval_params(self, state: TrainState):
+        """Params placed (replicated) on the local eval mesh, cached per
+        state object so a validation pass or flythrough places them once.
+
+        Training params live on the (possibly multi-host) training mesh;
+        the eval jit runs on the local mesh, so they take one hop through
+        the host — negligible next to rendering a full image."""
+        cached = getattr(self, "_eval_params_cache", None)
+        if cached is not None and cached[0] == id(state):
+            return cached[1]
+        self._get_eval_render_fn()
+        placed = jax.device_put(
+            (jax.device_get(state.fg_params),
+             jax.device_get(state.bg_params) if state.bg_params is not None
+             else None),
+            self._eval_replicated,
+        )
+        self._eval_params_cache = (id(state), placed)
+        return placed
 
     def render_image(
         self, metadata: ImageMetadata, state: TrainState
@@ -500,7 +541,10 @@ class Runner:
             hp.center_pixels,
         )
         n = rays.shape[0]
+        # Chunks divide evenly over the local chips (rays shard over 'ldata').
+        n_local = jax.local_device_count()
         chunk = min(hp.image_pixel_batch_size, n)
+        chunk = ((chunk + n_local - 1) // n_local) * n_local
         n_padded = ((n + chunk - 1) // chunk) * chunk
         rays = np.concatenate([rays, np.tile(rays[-1:], (n_padded - n, 1))])
 
@@ -511,13 +555,14 @@ class Runner:
         )
 
         render_fn = self._get_eval_render_fn()
+        fg_params, bg_params = self._eval_params(state)
         results: Dict[str, List[np.ndarray]] = {}
         for start in range(0, n_padded, chunk):
             out = render_fn(
-                state.fg_params,
-                state.bg_params,
-                jnp.asarray(rays[start : start + chunk]),
-                jnp.asarray(image_indices) if image_indices is not None else None,
+                fg_params,
+                bg_params,
+                rays[start : start + chunk],
+                image_indices,
             )
             out = jax.device_get(out)
             for k, v in out.items():

@@ -111,3 +111,22 @@ def test_filesystem_dataset_training(tmp_path):
     assert int(runner.final_state.step) == 30
     assert (tmp_path / "exp" / "0" / "metrics.txt").exists()
     assert len(list((tmp_path / "chunks").glob("*.parquet"))) == 3
+
+
+def test_eval_render_shards_over_local_devices(trained):
+    """Validation rendering runs on a local data mesh spanning ALL local
+    devices (the reference idles every GPU but one during eval,
+    `runner.py:540-589`); chunk sizes divide evenly over the mesh."""
+    import jax
+
+    _, _, hp, runner = trained
+    assert runner._eval_mesh.devices.size == jax.local_device_count() == 8
+    # The jitted render fn's ray input is sharded over 'ldata': rendering an
+    # image goes through make-like placement where each device gets 1/8th.
+    meta = runner.val_items[0]
+    results = runner.render_image(meta, runner.final_state)
+    assert results["rgb_fine"].shape[0] == meta.W * meta.H
+    # Params were placed once (cache hit on the second image render).
+    placed_id = runner._eval_params_cache[0]
+    runner.render_image(meta, runner.final_state)
+    assert runner._eval_params_cache[0] == placed_id
