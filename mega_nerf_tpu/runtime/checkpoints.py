@@ -24,6 +24,17 @@ from flax import serialization
 _MAGIC = b"MNTPU001"
 
 
+def is_native_checkpoint(path) -> bool:
+    """True for our MNTPU001 format; False for anything else (e.g. the
+    reference's torch `{iter}.pt` training checkpoints, which Runner also
+    accepts via --ckpt_path)."""
+    try:
+        with open(path, "rb") as f:
+            return f.read(len(_MAGIC)) == _MAGIC
+    except OSError:
+        return False
+
+
 def save_checkpoint(path, array_state: Any, aux_state: Dict[str, Any]) -> None:
     """array_state: pytree of arrays (params/opt); aux_state: picklable dict."""
     path = Path(path)

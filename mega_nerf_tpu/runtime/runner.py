@@ -75,7 +75,11 @@ class Runner:
         self.np_rng = np.random.default_rng(hparams.random_seed)
         self.init_key = jax.random.PRNGKey(hparams.random_seed)
         self._restored_aux = None
-        if hparams.ckpt_path is not None:
+        if hparams.ckpt_path is not None and ckpt_io.is_native_checkpoint(
+            hparams.ckpt_path
+        ):
+            # Reference torch checkpoints carry torch/np/random RNG states
+            # we can't continue; only our format restores the host rng.
             self._restored_aux = ckpt_io.load_checkpoint_aux(hparams.ckpt_path)
             key_data, np_rng = ckpt_io.rng_state_from_aux(self._restored_aux)
             if np_rng is not None:
@@ -209,7 +213,7 @@ class Runner:
         start_epoch = 0
         discard_index = -1
         if hp.ckpt_path is not None:
-            state, aux = ckpt_io.load_checkpoint(hp.ckpt_path, state)
+            state, aux = self._load_checkpoint_into_state(hp.ckpt_path, state)
             train_iterations = int(aux["iteration"])
             if hp.resume_ckpt_state:
                 ds_state = aux.get("dataset_state") or {}
@@ -371,7 +375,7 @@ class Runner:
         optimizer = make_optimizer(hp.lr, hp.lr_decay_factor, hp.train_iterations)
         state = make_train_state(self.fg, self.bg, optimizer, self.init_key)
         if hp.ckpt_path is not None:
-            state, _ = ckpt_io.load_checkpoint(hp.ckpt_path, state)
+            state, _ = self._load_checkpoint_into_state(hp.ckpt_path, state)
         if self.fg.pretrained_params is not None:
             # Merged-container eval: weights come from the container itself.
             state = state.replace(
@@ -386,6 +390,72 @@ class Runner:
         self._setup_experiment_dir()
         val_metrics = self._run_validation(self.make_eval_state(), 0)
         self._write_final_metrics(val_metrics)
+
+    def _load_checkpoint_into_state(
+        self, path, state: TrainState
+    ) -> Tuple[TrainState, Dict]:
+        """Restore a checkpoint into `state` — ours (MNTPU001: params,
+        optimizer, RNG, stream position) or a reference torch training
+        checkpoint (`{iter}.pt`, reference `runner.py:519-538`: weights and
+        iteration import; torch Adam moments and torch RNG states do not
+        transfer). Makes BASELINE.md's parity procedure one command:
+        `eval.py --ckpt_path <reference>.pt`."""
+        path = Path(path)
+        if ckpt_io.is_native_checkpoint(path):
+            return ckpt_io.load_checkpoint(path, state)
+
+        from mega_nerf_tpu.models.factory import nerf_config_from_hparams
+        from mega_nerf_tpu.models.torch_interop import (
+            appearance_count_from_state,
+            flax_params_from_torch_state,
+            strip_module_prefix,
+        )
+
+        hp = self.hparams
+        loaded = load_pt(path)
+        fg_state = strip_module_prefix(loaded["model_state_dict"])
+        appearance_count = appearance_count_from_state(fg_state) or 1
+        fg_cfg = nerf_config_from_hparams(
+            hp, appearance_count, hp.layer_dim, 3
+        )
+        fg_params = flax_params_from_torch_state(
+            fg_cfg, fg_state, hp.use_cascade
+        )
+        self._check_params_match(state.fg_params, fg_params, "fg", path)
+
+        bg_params = state.bg_params
+        if "bg_model_state_dict" in loaded and self.bg is not None:
+            bg_state = strip_module_prefix(loaded["bg_model_state_dict"])
+            bg_cfg = nerf_config_from_hparams(
+                hp, appearance_count, hp.bg_layer_dim, 4
+            )
+            bg_params = flax_params_from_torch_state(
+                bg_cfg, bg_state, hp.use_cascade
+            )
+            self._check_params_match(state.bg_params, bg_params, "bg", path)
+
+        state = state.replace(fg_params=fg_params, bg_params=bg_params)
+        aux = {
+            "iteration": int(loaded.get("iteration", 0)),
+            "dataset_state": {},
+        }
+        main_print(f"Imported reference torch checkpoint {path}")
+        return state, aux
+
+    @staticmethod
+    def _check_params_match(template, imported, name: str, path) -> None:
+        t_struct = jax.tree.structure(template)
+        i_struct = jax.tree.structure(imported)
+        assert t_struct == i_struct, (
+            f"{name} params from {path} don't match this config's module "
+            f"tree:\n{t_struct}\nvs\n{i_struct}"
+        )
+        for t, i in zip(jax.tree.leaves(template), jax.tree.leaves(imported)):
+            assert np.shape(t) == np.shape(i), (
+                f"{name} param shape mismatch loading {path}: "
+                f"{np.shape(t)} vs {np.shape(i)} — check layer_dim/"
+                f"appearance_dim/use_cascade flags match the checkpoint"
+            )
 
     # ------------------------------------------------------------- validation
 

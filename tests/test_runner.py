@@ -130,3 +130,78 @@ def test_eval_render_shards_over_local_devices(trained):
     placed_id = runner._eval_params_cache[0]
     runner.render_image(meta, runner.final_state)
     assert runner._eval_params_cache[0] == placed_id
+
+
+def test_reference_torch_checkpoint_import(trained, tmp_path):
+    """--ckpt_path accepts a reference torch `{iter}.pt` training checkpoint
+    (reference `runner.py:173-188,519-538`): weights import directly into
+    Runner, making BASELINE.md's parity procedure one command."""
+    from mega_nerf_tpu.data.torch_io import save_pt
+    from mega_nerf_tpu.models.factory import nerf_config_from_hparams
+    from mega_nerf_tpu.models.torch_interop import torch_state_from_flax_params
+    from mega_nerf_tpu.runtime.runner import Runner as R
+
+    root, ds, hp, runner = trained
+    import jax
+
+    fg_params = jax.device_get(runner.final_state.fg_params)
+    appearance_count = len(runner.train_items)
+    cfg = nerf_config_from_hparams(hp, appearance_count, hp.layer_dim, 3)
+    torch_state = torch_state_from_flax_params(cfg, fg_params, hp.use_cascade)
+    # Emit with DDP's module. prefix, as multi-GPU reference runs do.
+    ref_ckpt = tmp_path / "200.pt"
+    save_pt(
+        {
+            "model_state_dict": {
+                f"module.{k}": v for k, v in torch_state.items()
+            },
+            "iteration": 200,
+        },
+        ref_ckpt,
+    )
+
+    eval_hp = tiny_train_hparams(
+        ds, tmp_path / "eval_ref_ckpt", ckpt_path=str(ref_ckpt)
+    )
+    ref_runner = R(eval_hp)
+    ref_runner.eval()
+    ref_metrics = (tmp_path / "eval_ref_ckpt" / "0" / "metrics.txt").read_text()
+
+    # Same weights through the native path.
+    native_hp = tiny_train_hparams(
+        ds, tmp_path / "eval_native",
+        ckpt_path=str(root / "exp" / "0" / "models" / "200.ckpt"),
+    )
+    native_runner = R(native_hp)
+    native_runner.eval()
+    native_metrics = (tmp_path / "eval_native" / "0" / "metrics.txt").read_text()
+
+    def psnr_of(txt):
+        return float(
+            [l for l in txt.splitlines() if "val/psnr" in l][0].split(":")[-1]
+        )
+
+    assert abs(psnr_of(ref_metrics) - psnr_of(native_metrics)) < 1e-3, (
+        ref_metrics, native_metrics,
+    )
+
+
+def test_reference_checkpoint_shape_mismatch_fails_loudly(trained, tmp_path):
+    from mega_nerf_tpu.data.torch_io import save_pt
+    from mega_nerf_tpu.models.factory import nerf_config_from_hparams
+    from mega_nerf_tpu.models.torch_interop import torch_state_from_flax_params
+
+    root, ds, hp, runner = trained
+    import jax
+
+    fg_params = jax.device_get(runner.final_state.fg_params)
+    cfg = nerf_config_from_hparams(hp, len(runner.train_items), hp.layer_dim, 3)
+    torch_state = torch_state_from_flax_params(cfg, fg_params, hp.use_cascade)
+    ref_ckpt = tmp_path / "200.pt"
+    save_pt({"model_state_dict": torch_state, "iteration": 200}, ref_ckpt)
+
+    bad_hp = tiny_train_hparams(
+        ds, tmp_path / "eval_bad", ckpt_path=str(ref_ckpt), layer_dim=64
+    )
+    with pytest.raises(AssertionError, match="shape mismatch|module tree"):
+        Runner(bad_hp).make_eval_state()
