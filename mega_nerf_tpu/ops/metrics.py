@@ -93,28 +93,45 @@ _LPIPS_CACHE: Dict[str, object] = {}
 
 
 def lpips(rgbs: np.ndarray, target_rgbs: np.ndarray) -> Dict[str, float]:
-    """LPIPS perceptual distance with vgg/alex/squeeze backbones.
+    """LPIPS perceptual distance with vgg/alex/squeeze backbones
+    (reference `metrics.py:13-26`). Inputs are HxWx3 float arrays in [0, 1].
 
-    Host-side (torch) parity metric (reference `metrics.py:13-26`). Returns {}
-    when the `lpips` package or its pretrained weights are unavailable.
-    Inputs are HxWx3 float arrays in [0, 1].
+    Runs our pure-JAX implementation (`ops/lpips.py`) for every net whose
+    weight file exists (see `scripts/convert_lpips_weights.py`), falling back
+    to the `lpips` torch package for nets without one. Returns {} when
+    neither weights nor the package are available.
     """
-    try:
-        import torch
-        import lpips as _plips  # type: ignore
-    except ImportError:
-        return {}
+    from mega_nerf_tpu.ops import lpips as jlpips
 
-    gt = torch.from_numpy(np.asarray(target_rgbs)).permute(2, 0, 1).contiguous()
-    pred = torch.from_numpy(np.asarray(rgbs)).permute(2, 0, 1).contiguous()
+    out: Dict[str, float] = {}
+    for net in jlpips.available_nets():
+        if net not in _LPIPS_CACHE:
+            _LPIPS_CACHE[net] = jlpips.LPIPS.from_npz(net)
+        out[net] = float(_LPIPS_CACHE[net](rgbs, target_rgbs))
 
-    out = {}
-    for net in ("vgg", "alex", "squeeze"):
+    remaining = [n for n in ("vgg", "alex", "squeeze") if n not in out]
+    if remaining:
         try:
-            if net not in _LPIPS_CACHE:
-                _LPIPS_CACHE[net] = _plips.LPIPS(net=net).eval()
-            with torch.no_grad():
-                out[net] = float(_LPIPS_CACHE[net](gt, pred, normalize=True).item())
-        except Exception:
-            continue
+            import torch
+            import lpips as _plips  # type: ignore
+
+            gt = torch.from_numpy(
+                np.asarray(target_rgbs, np.float32)
+            ).permute(2, 0, 1).contiguous()
+            pred = torch.from_numpy(
+                np.asarray(rgbs, np.float32)
+            ).permute(2, 0, 1).contiguous()
+            for net in remaining:
+                try:
+                    key = f"torch_{net}"
+                    if key not in _LPIPS_CACHE:
+                        _LPIPS_CACHE[key] = _plips.LPIPS(net=net).eval()
+                    with torch.no_grad():
+                        out[net] = float(
+                            _LPIPS_CACHE[key](gt, pred, normalize=True).item()
+                        )
+                except Exception:
+                    continue
+        except ImportError:
+            pass
     return out
