@@ -91,6 +91,18 @@ class RenderSettings:
         return cls(**kw)
 
 
+_LOGGED_MLP_PATHS = set()
+
+
+def _log_mlp_path(message: str) -> None:
+    """Print each distinct compiled-path decision once per process."""
+    if message not in _LOGGED_MLP_PATHS:
+        _LOGGED_MLP_PATHS.add(message)
+        from mega_nerf_tpu.runtime.logging import main_print
+
+        main_print(message)
+
+
 def _supports_fused(bundle) -> bool:
     """Eval/train fused-kernel eligibility for this bundle's architecture.
 
@@ -184,11 +196,25 @@ def _model_eval(
     # "auto" engages only where Mosaic compiles natively; on CPU the
     # kernels would run in (slow) interpret mode, so fall back to XLA
     # there unless explicitly forced with use_pallas=True.
-    pallas_ok = (
-        settings.use_pallas
-        and (settings.use_pallas is True or jax.default_backend() == "tpu")
-        and settings.sh_deg is None
-        and _supports_fused(bundle)
+    if not settings.use_pallas:
+        pallas_ok, why = False, "disabled (--no_pallas)"
+    elif settings.use_pallas != True and jax.default_backend() != "tpu":  # noqa: E712
+        pallas_ok, why = False, f"non-TPU backend ({jax.default_backend()})"
+    elif settings.sh_deg is not None:
+        pallas_ok, why = False, "SH output head"
+    elif not _supports_fused(bundle):
+        pallas_ok, why = False, (
+            "architecture outside kernel coverage (mega mixture, affine "
+            "appearance, or layer_dim gate — see pallas_mlp.supports_fused_kernels)"
+        )
+    else:
+        pallas_ok, why = True, ""
+    # Trace-time, once per distinct path: a user benchmarking a config that
+    # silently fell back to XLA would otherwise report "Pallas" numbers that
+    # aren't (the gates are static, so this is exact for the compiled fn).
+    _log_mlp_path(
+        f"MLP path [{typ}/{'train' if train else 'eval'}]: "
+        + ("pallas-fused" if pallas_ok else f"XLA ({why})")
     )
     # Cascade bundles hold two independent NeRFs under "coarse"/"fine"
     # (models/cascade.py); the fused kernels just take the right subtree.
