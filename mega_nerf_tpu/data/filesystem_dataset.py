@@ -110,28 +110,30 @@ class FilesystemDataset:
             main_print("Differing intrinsics")
             self._directions = None
 
-        existing = self._check_existing_paths(
-            chunk_paths, center_pixels, scale_factor, len(metadata_items)
-        )
-        if existing is not None:
-            main_print(f"Reusing {len(existing)} chunks from previous run")
-            self._parquet_paths = existing
-        else:
-            # Rank-0 writes; everyone else waits then picks up the finished
-            # store (the reference gates this the same way with a barrier,
-            # filesystem_dataset.py:134,267).
-            self._parquet_paths = []
-            if is_master():
+        # Rank-0 probes/writes FIRST; everyone else waits on the barrier and
+        # only then inspects the store (the reference gates this the same way,
+        # filesystem_dataset.py:134,267 + runner.py:196-210). Non-masters must
+        # not probe before the barrier: they would race the master's write and
+        # see a half-written store.
+        if is_master():
+            existing = self._check_existing_paths(
+                chunk_paths, center_pixels, scale_factor, len(metadata_items)
+            )
+            if existing is not None:
+                main_print(f"Reusing {len(existing)} chunks from previous run")
+                self._parquet_paths = existing
+            else:
+                self._parquet_paths = []
                 self._write_chunks(
                     metadata_items, chunk_paths, num_chunks, scale_factor,
                     disk_flush_size,
                 )
             sync_processes("chunk_store_written")
-            if not is_master():
-                self._parquet_paths = self._check_existing_paths(
-                    chunk_paths, center_pixels, scale_factor,
-                    len(metadata_items),
-                ) or []
+        else:
+            sync_processes("chunk_store_written")
+            self._parquet_paths = self._check_existing_paths(
+                chunk_paths, center_pixels, scale_factor, len(metadata_items)
+            ) or []
         self._parquet_paths.sort(key=lambda x: x.name)
 
         # Multi-process feeding mode (see module docstring).

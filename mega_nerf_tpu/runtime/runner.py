@@ -562,6 +562,7 @@ class Runner:
             self._eval_mesh = Mesh(local, ("ldata",))
             self._eval_replicated = NamedSharding(self._eval_mesh, P())
             sharded = NamedSharding(self._eval_mesh, P("ldata"))
+            self._eval_sharded = sharded
 
             def fn(fg_params, bg_params, rays, image_indices):
                 results, _ = render_rays(
@@ -626,12 +627,18 @@ class Runner:
 
         render_fn = self._get_eval_render_fn()
         fg_params, bg_params = self._eval_params(state)
+        # Explicit placement: in multi-process jax, numpy inputs may not be
+        # implicitly converted against a non-trivial sharding. The eval mesh
+        # is local-only (fully addressable), so a plain device_put is valid
+        # regardless of process count.
+        if image_indices is not None:
+            image_indices = jax.device_put(image_indices, self._eval_sharded)
         results: Dict[str, List[np.ndarray]] = {}
         for start in range(0, n_padded, chunk):
             out = render_fn(
                 fg_params,
                 bg_params,
-                rays[start : start + chunk],
+                jax.device_put(rays[start : start + chunk], self._eval_sharded),
                 image_indices,
             )
             out = jax.device_get(out)
