@@ -206,9 +206,18 @@ def pack_params(cfg: NeRFConfig, params: Dict[str, Any],
     )
 
 
-def _freq_encode_block(x: jnp.ndarray, num_freqs: int, out_width: int
-                       ) -> jnp.ndarray:
+def _freq_encode_block(x: jnp.ndarray, num_freqs: int, out_width: int,
+                       extra: Optional[jnp.ndarray] = None,
+                       extra_col: Optional[int] = None) -> jnp.ndarray:
     """(B, d) -> (B, out_width) [x, sin(2^k x), cos(2^k x), ..., zeros].
+
+    `extra`/`extra_col` stash a per-point (B,) scalar stream (the training
+    sigma noise) into one of the zero padding columns: a separate (B, 1)
+    array is physically (B, 128)-tiled on TPU — 128x the HBM traffic of the
+    packed 1-D stream — while this select fuses into the encode epilogue
+    that writes the (B, out_width) tile anyway. The kernel slices the
+    column back out; the zero-padded weight rows make it invisible to the
+    matmuls.
 
     Lane-wide formulation: the naive per-frequency loop operates on (B, d)
     arrays — d of 128 vector lanes live — and when its result must be
@@ -242,9 +251,18 @@ def _freq_encode_block(x: jnp.ndarray, num_freqs: int, out_width: int
         preferred_element_type=jnp.float32,
     )
     kindv = jnp.asarray(kind)[None, :]
-    return jnp.where(
+    out = jnp.where(
         kindv == 1, jnp.sin(xp), jnp.where(kindv == 2, jnp.cos(xp), xp)
     )
+    if extra is not None:
+        assert extra_col is not None and col <= extra_col < out_width, (
+            extra_col, col, out_width)
+        colv = np.arange(out_width, dtype=np.int32)[None, :]
+        out = jnp.where(
+            jnp.asarray(colv == extra_col),
+            extra.reshape(b, 1).astype(out.dtype), out,
+        )
+    return out
 
 
 def _mlp_kernel(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_pad: int,

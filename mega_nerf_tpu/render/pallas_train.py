@@ -119,12 +119,16 @@ def _sigma_activate(cfg, sigma_pre, noise):
     return jnp.maximum(s, 0.0)
 
 
-def _train_fwd_kernel(cfg, enc_pad, dir_pad, app_w, *refs):
+def _train_fwd_kernel(cfg, enc_pad, dir_pad, app_w, noise_col, *refs):
     it = iter(refs)
-    enc = next(it)[...].astype(cfg.dtype)
+    enc_raw = next(it)[...]  # f32; noise rides in padding column noise_col
+    enc = enc_raw.astype(cfg.dtype)
     dir_enc = next(it)[...].astype(cfg.dtype) if dir_pad else None
     app = next(it)[...].astype(cfg.dtype) if app_w else None
-    noise = next(it)[...]  # (B, 1) f32, zeros when no sigma noise
+    # Sigma noise is stashed in a zero-weight padding lane of enc (see
+    # _freq_encode_block): a separate (B, 1) input would stream a full
+    # (B, 128) physical tile per pass. 0.0 when training without noise.
+    noise = enc_raw[:, noise_col:noise_col + 1] if noise_col is not None else 0.0
     n_w = 2 * cfg.layers + 2 + (4 if cfg.uses_dir_branch else 0) + 2
     ws = [next(it)[...] for _ in range(n_w)]
     out_ref = next(it)
@@ -142,15 +146,20 @@ def _train_fwd_kernel(cfg, enc_pad, dir_pad, app_w, *refs):
     out_ref[...] = out.astype(out_ref.dtype)
 
 
-def _train_bwd_kernel(cfg, enc_pad, dir_pad, app_w, *refs):
+def _train_bwd_kernel(cfg, enc_pad, dir_pad, app_w, noise_col, *refs):
     cd = cfg.dtype
     it = iter(refs)
-    enc = next(it)[...].astype(cd)
+    enc_raw = next(it)[...]  # f32
+    enc = enc_raw.astype(cd)
     dir_enc = next(it)[...].astype(cd) if dir_pad else None
     app = next(it)[...].astype(cd) if app_w else None
-    noise = next(it)[...]       # (B, 1) f32
-    g_rgb_out = next(it)[...]   # (B, LANE) lanes 0..2 live (post-activation)
-    g_sigma_out = next(it)[...]  # (B, LANE) lane 0 live (post-activation)
+    noise = enc_raw[:, noise_col:noise_col + 1] if noise_col is not None else 0.0
+    # Raw output cotangent, masked into rgb/sigma lanes HERE: masking outside
+    # the kernel cost two extra (m, 128) f32 XLA passes (~2.4 ms/step).
+    g = next(it)[...]  # (B, LANE) f32
+    lane_g = lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    g_rgb_out = jnp.where(lane_g < 3, g, 0.0)    # lanes 0..2 live
+    g_sigma_out = jnp.where(lane_g == 0, g[:, 3:4], 0.0)  # lane 0 live
     n_w = 2 * cfg.layers + 2 + (4 if cfg.uses_dir_branch else 0) + 2
     ws = [next(it)[...] for _ in range(n_w)]
     outs = list(it)  # gradient output refs (+ optional d_app first)
@@ -254,10 +263,15 @@ def _weights_tuple(packed: PackedMLP) -> Tuple[jnp.ndarray, ...]:
 
 @functools.lru_cache(maxsize=32)
 def _make_train_fn(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_w: int,
-                   block: int, interpret: bool):
-    """custom_vjp'd fused apply: (ws, enc, dir_enc, app, noise) -> (m, LANE)."""
+                   block: int, interpret: bool, noise_col: Optional[int]):
+    """custom_vjp'd fused apply: (ws, enc, dir_enc, app) -> (m, LANE).
 
-    def fwd_call(ws, enc, dir_enc, app, noise):
+    Sigma noise travels inside enc at padding column `noise_col` (None =
+    no noise); the output cotangent goes to the backward kernel raw, with
+    the rgb/sigma lane masking done in-kernel.
+    """
+
+    def fwd_call(ws, enc, dir_enc, app):
         m = enc.shape[0]
         grid = (m // block,)
         point = lambda w: pl.BlockSpec((block, w), lambda i: (i, 0))
@@ -269,11 +283,12 @@ def _make_train_fn(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_w: int,
             inputs.append(dir_enc); specs.append(point(dir_pad))
         if app_w:
             inputs.append(app); specs.append(point(app_w))
-        inputs.append(noise); specs.append(point(1))
         inputs.extend(ws)
         specs.extend(whole(w) for w in ws)
         return pl.pallas_call(
-            functools.partial(_train_fwd_kernel, cfg, enc_pad, dir_pad, app_w),
+            functools.partial(
+                _train_fwd_kernel, cfg, enc_pad, dir_pad, app_w, noise_col
+            ),
             grid=grid,
             in_specs=specs,
             out_specs=pl.BlockSpec((block, LANE), lambda i: (i, 0)),
@@ -283,7 +298,7 @@ def _make_train_fn(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_w: int,
                 vmem_limit_bytes=100 * 1024 * 1024),
         )(*inputs)
 
-    def bwd_call(ws, enc, dir_enc, app, noise, g_rgb, g_sigma):
+    def bwd_call(ws, enc, dir_enc, app, g):
         m = enc.shape[0]
         grid = (m // block,)
         point = lambda w: pl.BlockSpec((block, w), lambda i: (i, 0))
@@ -295,8 +310,8 @@ def _make_train_fn(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_w: int,
             inputs.append(dir_enc); specs.append(point(dir_pad))
         if app_w:
             inputs.append(app); specs.append(point(app_w))
-        inputs += [noise, g_rgb, g_sigma]
-        specs += [point(1), point(LANE), point(LANE)]
+        inputs.append(g)
+        specs.append(point(LANE))
         inputs.extend(ws)
         specs.extend(whole(w) for w in ws)
 
@@ -309,7 +324,9 @@ def _make_train_fn(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_w: int,
             out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
             out_specs.append(whole(w))
         outs = pl.pallas_call(
-            functools.partial(_train_bwd_kernel, cfg, enc_pad, dir_pad, app_w),
+            functools.partial(
+                _train_bwd_kernel, cfg, enc_pad, dir_pad, app_w, noise_col
+            ),
             grid=grid,
             in_specs=specs,
             out_specs=out_specs,
@@ -323,27 +340,20 @@ def _make_train_fn(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_w: int,
         return None, tuple(outs)
 
     @jax.custom_vjp
-    def apply(ws, enc, dir_enc, app, noise):
-        return fwd_call(ws, enc, dir_enc, app, noise)
+    def apply(ws, enc, dir_enc, app):
+        return fwd_call(ws, enc, dir_enc, app)
 
-    def apply_fwd(ws, enc, dir_enc, app, noise):
-        return fwd_call(ws, enc, dir_enc, app, noise), (
-            ws, enc, dir_enc, app, noise
-        )
+    def apply_fwd(ws, enc, dir_enc, app):
+        return fwd_call(ws, enc, dir_enc, app), (ws, enc, dir_enc, app)
 
     def apply_bwd(res, g):
-        ws, enc, dir_enc, app, noise = res
-        g = g.astype(jnp.float32)
-        lane = lax.broadcasted_iota(jnp.int32, g.shape, 1)
-        g_rgb = jnp.where(lane < 3, g, 0.0)
-        g_sigma = jnp.pad(g[:, 3:4], ((0, 0), (0, LANE - 1)))
-        d_app, d_ws = bwd_call(ws, enc, dir_enc, app, noise, g_rgb, g_sigma)
+        ws, enc, dir_enc, app = res
+        d_app, d_ws = bwd_call(ws, enc, dir_enc, app, g.astype(jnp.float32))
         return (
             d_ws,
             jnp.zeros_like(enc),
             None if dir_enc is None else jnp.zeros_like(dir_enc),
             None if app is None else d_app,
-            jnp.zeros_like(noise),
         )
 
     apply.defvjp(apply_fwd, apply_bwd)
@@ -360,7 +370,7 @@ def fused_nerf_train_apply(
     xyz: jnp.ndarray,
     dirs: Optional[jnp.ndarray],
     app_embed: Optional[jnp.ndarray],  # (M, appearance_dim), pre-gathered
-    sigma_noise: Optional[jnp.ndarray],  # (M, 1) or None
+    sigma_noise: Optional[jnp.ndarray],  # (M,) or (M, 1), or None
     block: int = 1024,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
@@ -376,8 +386,18 @@ def fused_nerf_train_apply(
     m = xyz.shape[0]
     block, m_pad = choose_block(m, block)
 
+    # Noise rides in the first zero-padding column of enc (exact f32; the
+    # column's weight rows are zero, so the matmuls never see it). A
+    # standalone (M, 1) array would tile to (M, 128) physically in HBM.
+    noise_col = None
+    if sigma_noise is not None:
+        noise_col = cfg.xyz_dim * (1 + 2 * cfg.pos_xyz_dim)
+        assert noise_col < packed.enc_pad, (noise_col, packed.enc_pad)
     enc = _freq_encode_block(
-        xyz.astype(jnp.float32), cfg.pos_xyz_dim, packed.enc_pad
+        xyz.astype(jnp.float32), cfg.pos_xyz_dim, packed.enc_pad,
+        extra=None if sigma_noise is None
+        else sigma_noise.astype(jnp.float32).reshape(m),
+        extra_col=noise_col,
     )
     dir_enc = None
     if cfg.pos_dir_dim > 0:
@@ -394,19 +414,14 @@ def fused_nerf_train_apply(
         assert app_embed is not None
         app_w = app_embed.shape[-1]
 
-    if sigma_noise is None:
-        noise = jnp.zeros((m, 1), jnp.float32)
-    else:
-        noise = sigma_noise.astype(jnp.float32).reshape(m, 1)
-
     fn = _make_train_fn(
-        cfg, packed.enc_pad, packed.dir_pad, app_w, block, interpret
+        cfg, packed.enc_pad, packed.dir_pad, app_w, block, interpret,
+        noise_col,
     )
     out = fn(
         _weights_tuple(packed),
         pad_points(enc, m_pad),
         pad_points(dir_enc, m_pad),
         pad_points(app_embed.astype(jnp.float32), m_pad) if app_w else None,
-        pad_points(noise, m_pad),
     )[:m]
     return out[:, :4]  # [sigmoid rgb, activated sigma]

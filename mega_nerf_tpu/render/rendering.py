@@ -191,7 +191,9 @@ def _model_eval(
     sigma_noise = None
     if train and key is not None and settings.sigma_noise:
         # Uniform [0,1) pre-activation density noise (rendering.py:294,321).
-        sigma_noise = jax.random.uniform(key, (n * s, 1))
+        # Generated 1-D (packed lanes): a (n*s, 1) array is physically
+        # (n*s, 128)-tiled on TPU, which made the RNG alone ~3 ms/step.
+        sigma_noise = jax.random.uniform(key, (n * s,))
 
     # "auto" engages only where Mosaic compiles natively; on CPU the
     # kernels would run in (slow) interpret mode, so fall back to XLA
@@ -249,7 +251,8 @@ def _model_eval(
         if settings.remat:
             apply_fn = jax.checkpoint(apply_fn)
         out = apply_fn(
-            params, flat_xyz, dirs if use_dirs else None, idx, sigma_noise
+            params, flat_xyz, dirs if use_dirs else None, idx,
+            None if sigma_noise is None else sigma_noise[:, None],
         )
 
     if settings.sh_deg is not None:
