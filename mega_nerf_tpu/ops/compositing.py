@@ -52,6 +52,83 @@ def composite_weights(
     trans = jnp.concatenate([jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
     return CompositeWeights(weights=alphas * trans, bg_lambda=bg_lambda)
 
+def composite_weights_merge(
+    z_a: jnp.ndarray,
+    sigmas_a: jnp.ndarray,
+    z_b: jnp.ndarray,
+    sigmas_b: jnp.ndarray,
+    last_delta: jnp.ndarray,
+    flip: bool = False,
+) -> CompositeWeights:
+    """Compositing weights for the union of TWO PRE-SORTED sample lists.
+
+    Exact drop-in for `composite_weights_union(concat([z_a, z_b], -1), ...)`
+    when each list is sorted in composite order (ascending z, or descending
+    when `flip`; within-list ties must be index-adjacent, which sortedness
+    gives for free). Exploiting the structure drops the cost from
+    O((Sa+Sb)^2) pairwise comparisons to within-list prefix sums (cumsum)
+    plus O(Sa*Sb) cross-list masked reduces over ONE shared predicate —
+    4.5x fewer ops at the paper config's 512+256 hierarchical merge
+    (reference `rendering.py:336-350`), the renderer's only caller.
+
+    Tie semantics match the union's strict (z, concat index) order: list A
+    occupies the lower concat indices, so a B sample tied with an A sample
+    composites AFTER it. Weights come back in concat order [A | B].
+
+    z_a/sigmas_a: (N, Sa); z_b/sigmas_b: (N, Sb); last_delta: (N,) or (N, 1).
+    """
+    if last_delta.ndim == sigmas_a.ndim:
+        last_delta = last_delta[..., 0]
+    # Canonical keys: ascending in composite order; gaps in key space equal
+    # gaps in z space for both directions.
+    ka = -z_a if flip else z_a
+    kb = -z_b if flip else z_b
+
+    big = jnp.array(1e30, ka.dtype)  # finite sentinel (see union docstring)
+    bigs = jnp.full_like(ka[..., :1], big)
+    gap_a_own = jnp.concatenate([ka[..., 1:] - ka[..., :-1], bigs], axis=-1)
+    gap_b_own = jnp.concatenate(
+        [kb[..., 1:] - kb[..., :-1], jnp.full_like(kb[..., :1], big)], axis=-1
+    )
+
+    # One cross predicate, used by all four reduces:
+    #   M[i, j] == (b_j strictly before a_i) == kb_j < ka_i.
+    # Its complement is "b_j at-or-after a_i", which by the concat-index tie
+    # rule is exactly "b_j composites after a_i".
+    kai = ka[..., :, None]  # (N, Sa, 1)
+    kbj = kb[..., None, :]  # (N, 1, Sb)
+    m = kbj < kai
+
+    gap_a_cross = jnp.min(jnp.where(m, big, kbj - kai), axis=-1)  # (N, Sa)
+    gap_b_cross = jnp.min(jnp.where(m, kai - kbj, big), axis=-2)  # (N, Sb)
+    delta_a = jnp.minimum(gap_a_own, gap_a_cross)
+    delta_b = jnp.minimum(gap_b_own, gap_b_cross)
+    delta_a = jnp.where(delta_a < 1e29, delta_a, last_delta[:, None])
+    delta_b = jnp.where(delta_b < 1e29, delta_b, last_delta[:, None])
+
+    u_a = -delta_a * sigmas_a
+    u_b = -delta_b * sigmas_b
+    log_eps = jnp.log(jnp.array(1e-8, u_a.dtype))
+    log_t_a = jnp.logaddexp(u_a, log_eps)  # log(1 - alpha + 1e-8), stable VJP
+    log_t_b = jnp.logaddexp(u_b, log_eps)
+
+    # Exclusive within-list prefix sums (composite order == index order).
+    ca = jnp.cumsum(log_t_a, axis=-1) - log_t_a
+    cb = jnp.cumsum(log_t_b, axis=-1) - log_t_b
+    # Cross contributions: everything in the other list that lies before.
+    ta_cross = jnp.sum(jnp.where(m, log_t_b[..., None, :], 0.0), axis=-1)
+    tb_cross = jnp.sum(jnp.where(m, 0.0, log_t_a[..., :, None]), axis=-2)
+
+    w_a = -jnp.expm1(u_a) * jnp.exp(ca + ta_cross)
+    w_b = -jnp.expm1(u_b) * jnp.exp(cb + tb_cross)
+    bg_lambda = jnp.exp(
+        jnp.sum(log_t_a, axis=-1) + jnp.sum(log_t_b, axis=-1)
+    )
+    return CompositeWeights(
+        weights=jnp.concatenate([w_a, w_b], axis=-1), bg_lambda=bg_lambda
+    )
+
+
 def composite_weights_union(
     z_all: jnp.ndarray,
     sigmas: jnp.ndarray,

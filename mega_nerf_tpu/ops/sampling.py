@@ -43,7 +43,11 @@ def sample_cdf(
 
     bins: (N, S+1) bin edges; cdf: (N, S) cumulative weights in (0, 1].
     Deterministic mode uses an even linspace over [0, 1]. Parity:
-    reference `rendering.py:505-536`.
+    reference `rendering.py:505-536` (random mode matches in distribution
+    of the sample SET; see the sorted-uniform note below).
+
+    Guarantee: the returned depths are ascending along the last axis in
+    BOTH modes (u ascends and the inverse-CDF interpolation is monotone).
     """
     n_rays, n_bins = cdf.shape
     cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # (N, S+1)
@@ -52,7 +56,21 @@ def sample_cdf(
         u = jnp.linspace(0.0, 1.0, fine_samples, dtype=cdf.dtype)
         u = jnp.broadcast_to(u, (n_rays, fine_samples))
     else:
-        u = jax.random.uniform(key, (n_rays, fine_samples), dtype=cdf.dtype)
+        # Sorted uniforms via exponential spacings (Sukhatme): cumulative
+        # sums of iid Exp(1) normalized by the (fs+1)-th partial sum are
+        # EXACTLY the order statistics of fs iid U(0,1) draws. The sampled
+        # depth SET is distributed identically to the reference's plain
+        # torch.rand (rendering.py:517) — only the per-index order differs,
+        # and every consumer is order-invariant — while the ascending order
+        # guarantee lets the hierarchical merge compositor
+        # (ops/compositing.py::composite_weights_merge) replace the O(S^2)
+        # pairwise union with within-list prefix sums + O(Sa*Sb) cross
+        # terms. No sort: TPU sorts are per-element scalar loops.
+        e = -jnp.log1p(-jax.random.uniform(
+            key, (n_rays, fine_samples + 1), dtype=cdf.dtype
+        ))
+        s = jnp.cumsum(e, axis=-1)
+        u = s[:, :-1] / s[:, -1:]
 
     # Bracketing-neighbor lookup WITHOUT searchsorted / take_along_axis:
     # on TPU those compile to per-element binary-search while-loops and

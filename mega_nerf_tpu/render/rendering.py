@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from mega_nerf_tpu.models.factory import ModelBundle
 from mega_nerf_tpu.ops.compositing import (
     composite_weights,
+    composite_weights_merge,
     composite_weights_union,
 )
 from mega_nerf_tpu.ops.geometry import depth2pts_outside, intersect_sphere
@@ -306,12 +307,29 @@ def _inference(
     )
 
     if merge_prev:
-        # Merge the coarse and fine sample sets WITHOUT sorting: the union
-        # compositor computes order-dependent quantities as masked pairwise
-        # reductions, and every consumer below (rgb/depth/variance sums) is
-        # order-invariant. The sorted formulation (reference
-        # rendering.py:336-350) costs a TPU sort custom-call plus payload
-        # gathers fwd / scatters bwd — ~90ms/step at the paper config.
+        # Merge the coarse and fine sample sets WITHOUT sorting: every
+        # consumer below (rgb/depth/variance sums) is order-invariant, so
+        # order-dependent quantities come from a masked-reduction
+        # compositor instead of the reference's sort + payload gathers
+        # (`rendering.py:336-350`, ~90ms/step on TPU). Both lists arrive
+        # pre-sorted in composite order (sample_cdf emits ascending fine
+        # depths, flipped for the descending bg pass in _get_results), so
+        # the two-sorted-lists merge applies: prefix sums within each list
+        # + O(Sa*Sb) cross terms, 4.5x cheaper than the O((Sa+Sb)^2)
+        # unsorted union. perturb > 1 voids the coarse list's sortedness
+        # (jitter escapes the stratification bins) -> union fallback.
+        if settings.perturb <= 1.0:
+            cw = composite_weights_merge(
+                z_vals, sigmas,
+                results["zvals_coarse"], results["raw_sigma_coarse"],
+                last_delta, flip=flip,
+            )
+        else:
+            cw = composite_weights_union(
+                jnp.concatenate([z_vals, results["zvals_coarse"]], axis=-1),
+                jnp.concatenate([sigmas, results["raw_sigma_coarse"]], axis=1),
+                last_delta, flip=flip,
+            )
         z_vals = jnp.concatenate([z_vals, results["zvals_coarse"]], axis=-1)
         rgbs = jnp.concatenate([rgbs, results["raw_rgb_coarse"]], axis=1)
         sigmas = jnp.concatenate([sigmas, results["raw_sigma_coarse"]], axis=1)
@@ -319,7 +337,6 @@ def _inference(
             depth_real = jnp.concatenate(
                 [depth_real, results["depth_real_coarse"]], axis=-1
             )
-        cw = composite_weights_union(z_vals, sigmas, last_delta, flip=flip)
     else:
         cw = composite_weights(sigmas, z_vals, last_delta, flip=flip)
     weights = cw.weights
@@ -421,6 +438,13 @@ def _get_results(
         z_vals_mid, weights_c, fine_samples, det=(perturb == 0), key=k_sample
     )
     fine_z_vals = jax.lax.stop_gradient(fine_z_vals)
+    if flip:
+        # sample_cdf emits ascending depths; the bg pass composites in
+        # descending order, and the merge compositor needs the fine list
+        # sorted in composite order like the (already descending) coarse
+        # stash. Flipping HERE means xyz/rgb/sigma are computed in the
+        # flipped order directly — no payload reordering later.
+        fine_z_vals = jnp.flip(fine_z_vals, axis=-1)
 
     if settings.use_cascade:
         fine_z_vals = jnp.sort(

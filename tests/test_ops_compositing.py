@@ -68,3 +68,87 @@ def test_weights_match_manual_cumprod():
     trans_shift = np.concatenate([[1.0], trans[:-1]])
     np.testing.assert_allclose(np.asarray(out.weights[0]), alphas * trans_shift, rtol=1e-4)
     np.testing.assert_allclose(float(out.bg_lambda[0]), trans[-1], rtol=1e-4)
+
+
+def _sorted_lists(rng, n, sa, sb, flip, ties=False):
+    za = np.sort(rng.uniform(1.0, 9.0, (n, sa)).astype(np.float32), axis=-1)
+    zb = np.sort(rng.uniform(1.0, 9.0, (n, sb)).astype(np.float32), axis=-1)
+    if ties:
+        # Inject cross-list and within-list duplicate depths (re-sorting
+        # afterwards keeps the merge's sortedness precondition).
+        zb[:, 1] = za[:, 2]
+        za[:, 4] = za[:, 3]
+        za = np.sort(za, axis=-1)
+        zb = np.sort(zb, axis=-1)
+    if flip:
+        za = za[:, ::-1].copy()
+        zb = zb[:, ::-1].copy()
+    sig_a = rng.uniform(0.0, 3.0, (n, sa)).astype(np.float32)
+    sig_b = rng.uniform(0.0, 3.0, (n, sb)).astype(np.float32)
+    return map(jnp.asarray, (za, sig_a, zb, sig_b))
+
+
+def test_merge_matches_union():
+    from mega_nerf_tpu.ops import composite_weights_merge, composite_weights_union
+
+    rng = np.random.default_rng(0)
+    for flip in (False, True):
+        for ties in (False, True):
+            za, sa_, zb, sb_ = _sorted_lists(rng, 3, 8, 5, flip, ties)
+            last = jnp.asarray(rng.uniform(0.5, 2.0, (3,)).astype(np.float32))
+            got = composite_weights_merge(za, sa_, zb, sb_, last, flip=flip)
+            want = composite_weights_union(
+                jnp.concatenate([za, zb], -1),
+                jnp.concatenate([sa_, sb_], -1),
+                last, flip=flip,
+            )
+            np.testing.assert_allclose(
+                np.asarray(got.weights), np.asarray(want.weights),
+                rtol=1e-6, atol=1e-7,
+                err_msg=f"flip={flip} ties={ties}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(got.bg_lambda), np.asarray(want.bg_lambda),
+                rtol=1e-5, atol=1e-12, err_msg=f"flip={flip} ties={ties}",
+            )
+
+
+def test_merge_gradients_match_union():
+    import jax
+
+    from mega_nerf_tpu.ops import composite_weights_merge, composite_weights_union
+
+    rng = np.random.default_rng(1)
+    za, sa_, zb, sb_ = _sorted_lists(rng, 2, 6, 4, False)
+    last = jnp.asarray(np.float32([1.0, 1.5]))
+    probe = jnp.asarray(rng.normal(size=(2, 10)).astype(np.float32))
+
+    def loss_merge(sa, sb):
+        cw = composite_weights_merge(za, sa, zb, sb, last)
+        return jnp.sum(cw.weights * probe) + jnp.sum(cw.bg_lambda)
+
+    def loss_union(sa, sb):
+        cw = composite_weights_union(
+            jnp.concatenate([za, zb], -1), jnp.concatenate([sa, sb], -1), last
+        )
+        return jnp.sum(cw.weights * probe) + jnp.sum(cw.bg_lambda)
+
+    g0 = jax.grad(loss_merge, argnums=(0, 1))(sa_, sb_)
+    g1 = jax.grad(loss_union, argnums=(0, 1))(sa_, sb_)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_sample_cdf_random_mode_ascending():
+    import jax
+
+    from mega_nerf_tpu.ops import sample_cdf
+
+    rng = np.random.default_rng(2)
+    bins = jnp.asarray(np.sort(rng.uniform(1, 9, (4, 9)), -1).astype(np.float32))
+    w = rng.uniform(0.1, 1.0, (4, 8)).astype(np.float32)
+    cdf = jnp.asarray(np.cumsum(w / w.sum(-1, keepdims=True), -1))
+    out = np.asarray(sample_cdf(bins, cdf, 32, det=False, key=jax.random.key(3)))
+    assert (np.diff(out, axis=-1) >= 0).all()
+    assert (out >= np.asarray(bins)[:, :1]).all()
+    assert (out <= np.asarray(bins)[:, -1:]).all()
