@@ -229,31 +229,46 @@ def _freq_encode_block(x: jnp.ndarray, num_freqs: int, out_width: int,
     column. Bit-identical to the loop formulation.
     """
     b, d = x.shape
-    proj = np.zeros((d, out_width), np.float32)
-    kind = np.zeros((out_width,), np.int32)  # 0 = linear/pad, 1 = sin, 2 = cos
+    colsrc = np.full((out_width,), -1, np.int32)  # source coordinate per col
+    scale = np.zeros((out_width,), np.float32)
+    kind = np.zeros((out_width,), np.int32)  # 0 = linear/pad, 1 = trig
+    phase = np.zeros((out_width,), np.float32)  # pi/2 turns sin into cos
     for c in range(d):
-        proj[c, c] = 1.0
+        colsrc[c] = c
+        scale[c] = 1.0
     col = d
     for k in range(num_freqs):
         for trig in (1, 2):
             for c in range(d):
-                proj[c, col] = 2.0 ** k
-                kind[col] = trig
+                colsrc[col] = c
+                scale[col] = 2.0 ** k
+                kind[col] = 1
+                if trig == 2:
+                    phase[col] = np.float32(np.pi / 2)
                 col += 1
     assert col <= out_width
-    # precision=HIGHEST: the default TPU matmul truncates f32 inputs to
-    # bf16, and an 8-bit-mantissa position times 2^11 is off by whole
-    # radians before the sin. Full f32 passes keep the power-of-two scaling
-    # exact; this dot is (B, 3) @ (3, 128) — negligible FLOPs.
-    xp = jnp.dot(
-        x.astype(jnp.float32), jnp.asarray(proj),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
+    # Everything here is ONE fused full-width elementwise pass in f32:
+    # - coordinates are spread across lanes by constant-mask selects and
+    #   scaled by exact power-of-two multiplies (an earlier (B, d) @
+    #   (d, out_width) HIGHEST-precision projection was 6 bf16 MXU passes
+    #   over a contraction dim padded d -> 128, ~1 ms/step per pass; the
+    #   default-precision dot truncates f32 to bf16, and an 8-bit-mantissa
+    #   position times 2^11 is off by whole radians before the sin);
+    # - f32 throughout: bf16 sin quantizes positions coarser than scene
+    #   detail at high frequencies;
+    # - cosine columns are sin(2^k x + pi/2): a select between full-width
+    #   sin and cos expressions makes XLA evaluate BOTH transcendentals on
+    #   every lane. The phase add costs one f32 rounding of the argument
+    #   (<= ulp(2^k x)/2 ~ 1.2e-4 for |x| <= 1.5 at 2^11 — an order below
+    #   the bf16 cast the encoding feeds anyway).
+    xf = x.astype(jnp.float32)
+    colv = jnp.asarray(colsrc)[None, :]
+    xp = jnp.zeros((b, out_width), jnp.float32)
+    for c in range(d):
+        xp = jnp.where(colv == c, xf[:, c : c + 1], xp)
+    xp = xp * jnp.asarray(scale)[None, :] + jnp.asarray(phase)[None, :]
     kindv = jnp.asarray(kind)[None, :]
-    out = jnp.where(
-        kindv == 1, jnp.sin(xp), jnp.where(kindv == 2, jnp.cos(xp), xp)
-    )
+    out = jnp.where(kindv == 1, jnp.sin(xp), xp)
     if extra is not None:
         assert extra_col is not None and col <= extra_col < out_width, (
             extra_col, col, out_width)
