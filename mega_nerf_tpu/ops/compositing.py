@@ -91,16 +91,22 @@ def composite_weights_merge(
         [kb[..., 1:] - kb[..., :-1], jnp.full_like(kb[..., :1], big)], axis=-1
     )
 
-    # One cross predicate, used by all four reduces:
-    #   M[i, j] == (b_j strictly before a_i) == kb_j < ka_i.
-    # Its complement is "b_j at-or-after a_i", which by the concat-index tie
-    # rule is exactly "b_j composites after a_i".
+    # Cross predicate: "b_j strictly before a_i" == kb_j < ka_i; its
+    # complement is "b_j at-or-after a_i", which by the concat-index tie
+    # rule is exactly "b_j composites after a_i". Each side gets its own
+    # orientation of the (Sa, Sb) comparison so every masked reduce runs
+    # over the MINOR axis: reducing the middle axis of a fused broadcast
+    # faults the TPU backend outright at eval-sized N (observed at
+    # N=16384, Sa=512, Sb=256), while minor-axis reduces fuse cleanly.
     kai = ka[..., :, None]  # (N, Sa, 1)
     kbj = kb[..., None, :]  # (N, 1, Sb)
-    m = kbj < kai
+    m = kbj < kai           # (N, Sa, Sb)
+    kbi = kb[..., :, None]  # (N, Sb, 1)
+    kaj = ka[..., None, :]  # (N, 1, Sa)
+    mt = kaj > kbi          # (N, Sb, Sa) — m transposed
 
     gap_a_cross = jnp.min(jnp.where(m, big, kbj - kai), axis=-1)  # (N, Sa)
-    gap_b_cross = jnp.min(jnp.where(m, kai - kbj, big), axis=-2)  # (N, Sb)
+    gap_b_cross = jnp.min(jnp.where(mt, kaj - kbi, big), axis=-1)  # (N, Sb)
     delta_a = jnp.minimum(gap_a_own, gap_a_cross)
     delta_b = jnp.minimum(gap_b_own, gap_b_cross)
     delta_a = jnp.where(delta_a < 1e29, delta_a, last_delta[:, None])
@@ -117,7 +123,7 @@ def composite_weights_merge(
     cb = jnp.cumsum(log_t_b, axis=-1) - log_t_b
     # Cross contributions: everything in the other list that lies before.
     ta_cross = jnp.sum(jnp.where(m, log_t_b[..., None, :], 0.0), axis=-1)
-    tb_cross = jnp.sum(jnp.where(m, 0.0, log_t_a[..., :, None]), axis=-2)
+    tb_cross = jnp.sum(jnp.where(mt, 0.0, log_t_a[..., None, :]), axis=-1)
 
     w_a = -jnp.expm1(u_a) * jnp.exp(ca + ta_cross)
     w_b = -jnp.expm1(u_b) * jnp.exp(cb + tb_cross)
