@@ -318,7 +318,17 @@ def _inference(
         # + O(Sa*Sb) cross terms, 4.5x cheaper than the O((Sa+Sb)^2)
         # unsorted union. perturb > 1 voids the coarse list's sortedness
         # (jitter escapes the stratification bins) -> union fallback.
-        if settings.perturb <= 1.0:
+        #
+        # TRAIN ONLY: at eval batch sizes (16384-ray image chunks) the
+        # merge's (N, Sa, Sb) masked reduces, composed next to the Pallas
+        # eval kernels' custom calls, crash the TPU worker outright — an
+        # XLA:TPU lowering fault that is context-dependent (the identical
+        # reduces pass standalone at the same shapes, and pass composed
+        # with the XLA MLP path). The union compositor lowers cleanly in
+        # every composition we have hit, so eval keeps it; train (batch
+        # ~1024, fused custom-VJP kernels) is the hot path where the
+        # O(Sa*Sb) saving matters and is proven stable on hardware.
+        if train and settings.perturb <= 1.0:
             cw = composite_weights_merge(
                 z_vals, sigmas,
                 results["zvals_coarse"], results["raw_sigma_coarse"],
