@@ -202,3 +202,35 @@ def test_eval_deterministic_train_stochastic():
     r4, _ = render_rays(fg, None, fg_params, None, rays, None, settings,
                         train=True, key=jax.random.key(2))
     assert not np.array_equal(np.asarray(r3["rgb_fine"]), np.asarray(r4["rgb_fine"]))
+
+
+def test_merge_compositor_routed_to_train_only(monkeypatch):
+    """Eval must NOT compile the merge compositor.
+
+    The merge's (N, Sa, Sb) masked reduces crash the TPU worker when
+    composed with the Pallas eval kernels at image-chunk batch sizes (an
+    XLA:TPU lowering fault bisected on hardware — see _inference); eval
+    routes through composite_weights_union, train keeps the merge.
+    """
+    from mega_nerf_tpu.render import rendering as R
+
+    calls = []
+    real_merge = R.composite_weights_merge
+
+    def spy(*args, **kwargs):
+        calls.append("merge")
+        return real_merge(*args, **kwargs)
+
+    monkeypatch.setattr(R, "composite_weights_merge", spy)
+    hp = tiny_hparams()
+    fg = make_nerf(hp, appearance_count=1)
+    fg_params = fg.init(jax.random.key(0))
+    settings = RenderSettings(coarse_samples=8, fine_samples=8)
+    rays = _straight_rays(4)
+
+    render_rays(fg, None, fg_params, None, rays, None, settings)
+    assert calls == [], "eval path must use the union compositor"
+
+    render_rays(fg, None, fg_params, None, rays, None, settings,
+                train=True, key=jax.random.key(1))
+    assert calls == ["merge"], "train path must use the merge compositor"
