@@ -49,6 +49,22 @@ from mega_nerf_tpu.runtime.logging import MetricsWriter, is_master, main_print, 
 
 METRICS_CHECK_INTERVAL = 100  # steps between host-side non-finite guards
 
+# Device-side point budget for one eval render pass. The fused Pallas eval
+# path materializes the lane-padded position/direction/appearance encodings
+# plus the (m, 128) output tile in HBM — roughly 1.3 GB per million points
+# at the paper widths — so the per-chunk MLP pass is bounded to this many
+# points and `render_image` loops more chunks instead. 8M points at the
+# paper config (fine_samples=512) gives the proven 16384-ray eval chunk;
+# the reference's 64k-pixel default (`runner.py:568`) is sized for GPU
+# renders that stream `model_chunk_size` slices in Python instead.
+EVAL_POINT_BUDGET = 8 * 1024 * 1024
+
+
+def _eval_chunk_cap(hparams: Namespace, n_local: int) -> int:
+    """Max rays per eval render call that keeps every MLP pass in budget."""
+    s_max = max(hparams.coarse_samples, hparams.fine_samples, 1)
+    return max(n_local, EVAL_POINT_BUDGET // s_max)
+
 
 class Runner:
     # CellRunner (one-program multi-submodule training) flips this to build
@@ -614,7 +630,7 @@ class Runner:
         n = rays.shape[0]
         # Chunks divide evenly over the local chips (rays shard over 'ldata').
         n_local = jax.local_device_count()
-        chunk = min(hp.image_pixel_batch_size, n)
+        chunk = min(hp.image_pixel_batch_size, n, _eval_chunk_cap(hp, n_local))
         chunk = ((chunk + n_local - 1) // n_local) * n_local
         n_padded = ((n + chunk - 1) // chunk) * chunk
         rays = np.concatenate([rays, np.tile(rays[-1:], (n_padded - n, 1))])

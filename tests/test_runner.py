@@ -205,3 +205,20 @@ def test_reference_checkpoint_shape_mismatch_fails_loudly(trained, tmp_path):
     )
     with pytest.raises(AssertionError, match="shape mismatch|module tree"):
         Runner(bad_hp).make_eval_state()
+
+
+def test_eval_chunk_cap():
+    """Eval chunks are bounded by the device-side point budget so real-scene
+    images (the reference's 64k-pixel default, runner.py:568) cannot OOM the
+    Pallas eval path at paper sample counts."""
+    from argparse import Namespace
+
+    from mega_nerf_tpu.runtime.runner import EVAL_POINT_BUDGET, _eval_chunk_cap
+
+    hp = Namespace(coarse_samples=256, fine_samples=512)
+    assert _eval_chunk_cap(hp, 1) == EVAL_POINT_BUDGET // 512 == 16384
+    # Coarse-only configs bound by the coarse pass.
+    assert _eval_chunk_cap(Namespace(coarse_samples=256, fine_samples=0), 1) \
+        == EVAL_POINT_BUDGET // 256
+    # Degenerate: never below one ray per local chip.
+    assert _eval_chunk_cap(Namespace(coarse_samples=2**26, fine_samples=0), 8) == 8
