@@ -39,6 +39,10 @@ from mega_nerf_tpu.models.nerf import NeRFConfig
 
 LANE = 128
 
+# Escape hatch: set False to force separate position/direction encoding
+# streams (the pre-packing layout) — used to bisect kernel regressions.
+DIR_PACK_ENABLED = True
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -90,8 +94,17 @@ class PackedMLP:
 
     config: NeRFConfig
     enc_pad: int  # padded position-encoding width
-    dir_pad: int  # padded direction-encoding width (0 if unused)
+    dir_pad: int  # padded SEPARATE direction-encoding width (0 if unused
+    #   or if the direction encoding is packed into the enc tile)
     app_pad: int  # padded appearance width (0 if unused)
+    enc_in: int  # live position-encoding columns
+    dir_in: int  # live direction-encoding columns (0 if no dir branch)
+    # When True, the direction encoding lives in the enc tile's padding
+    # columns [enc_in, enc_in + dir_in) and the dir-branch matmul reads the
+    # SAME tile (its weight rows are placed to match, zero rows elsewhere):
+    # one encode pass and one HBM stream instead of two, at zero extra
+    # FLOPs — the dir weight block spanned a full lane tile anyway.
+    dir_packed: bool
     trunk_kernels: Tuple[jnp.ndarray, ...]  # per layer, padded (in, 256)
     trunk_biases: Tuple[jnp.ndarray, ...]  # (1, 256)
     sigma_kernel: jnp.ndarray  # (256, LANE) — col 0 real
@@ -105,7 +118,8 @@ class PackedMLP:
 
 
 def pack_params(cfg: NeRFConfig, params: Dict[str, Any],
-                cast: bool = True) -> PackedMLP:
+                cast: bool = True,
+                dir_pack: Optional[bool] = None) -> PackedMLP:
     """Flax NeRF params -> zero-padded, lane-aligned kernel weights.
 
     Matmul weights are stored pre-cast to the compute dtype (bf16 on TPU) to
@@ -123,7 +137,16 @@ def pack_params(cfg: NeRFConfig, params: Dict[str, Any],
     enc_in = cfg.xyz_dim * (1 + 2 * cfg.pos_xyz_dim)
     enc_pad = _round_up(enc_in, LANE)
     dir_in = 3 * (1 + 2 * cfg.pos_dir_dim) if cfg.pos_dir_dim > 0 else 0
-    dir_pad = _round_up(dir_in, LANE) if dir_in else 0
+    # Pack the direction encoding into the enc tile's padding when it fits
+    # with one column to spare (the training sigma noise rides in the first
+    # free column). Covers the whole reference config family: fg 75+27+1,
+    # bg (xyz_dim=4) 100+27+1 <= 128. `dir_pack` overrides the fit rule
+    # (pallas_train passes False: the packed TRAIN kernels hang the Mosaic
+    # remote compiler on v5e — under bisection; the eval kernel is proven).
+    if dir_pack is None:
+        dir_pack = DIR_PACK_ENABLED
+    dir_packed = dir_pack and dir_in > 0 and enc_in + dir_in + 1 <= enc_pad
+    dir_pad = _round_up(dir_in, LANE) if (dir_in and not dir_packed) else 0
     app_pad = _round_up(cfg.appearance_dim, LANE) if (
         cfg.appearance_dim > 0 and not cfg.affine_appearance
     ) else 0
@@ -162,18 +185,22 @@ def pack_params(cfg: NeRFConfig, params: Dict[str, Any],
         final_bias = f32(params["trunk_final"]["bias"])[None, :]
         branch = cfg.layer_dim // 2
         k = f32(params["dir_a"]["kernel"])
-        # In-kernel input layout: [final (d) | dir_enc (dir_pad) | app (app_pad)].
-        rows = d + dir_pad + app_pad
+        # In-kernel input layout: [final (d) | dir tile | app (app_pad)].
+        # The dir tile is the enc tile itself when dir_packed (rows for the
+        # position-encoding columns stay zero), else the separate dir_enc.
+        dir_block = enc_pad if dir_packed else dir_pad
+        dir_off = enc_in if dir_packed else 0
+        rows = d + dir_block + app_pad
         dir_a_kernel = jnp.zeros((rows, branch), jnp.float32).at[:d].set(k[:d])
         off_src = d
         if dir_in:
-            dir_a_kernel = dir_a_kernel.at[d : d + dir_in].set(
-                k[off_src : off_src + dir_in]
-            )
+            dir_a_kernel = dir_a_kernel.at[
+                d + dir_off : d + dir_off + dir_in
+            ].set(k[off_src : off_src + dir_in])
             off_src += dir_in
         if app_pad:
             dir_a_kernel = dir_a_kernel.at[
-                d + dir_pad : d + dir_pad + cfg.appearance_dim
+                d + dir_block : d + dir_block + cfg.appearance_dim
             ].set(k[off_src : off_src + cfg.appearance_dim])
         dir_a_bias = f32(params["dir_a"]["bias"])[None, :]
         rgb_in = branch
@@ -193,6 +220,9 @@ def pack_params(cfg: NeRFConfig, params: Dict[str, Any],
         enc_pad=enc_pad,
         dir_pad=dir_pad,
         app_pad=app_pad,
+        enc_in=enc_in,
+        dir_in=dir_in,
+        dir_packed=dir_packed,
         trunk_kernels=tuple(wdt(k) for k in trunk_kernels),
         trunk_biases=tuple(trunk_biases),
         sigma_kernel=wdt(sigma_kernel),
@@ -204,6 +234,67 @@ def pack_params(cfg: NeRFConfig, params: Dict[str, Any],
         rgb_kernel=wdt(rgb_kernel),
         rgb_bias=rgb_bias,
     )
+
+
+def _freq_encode_groups(
+    x: jnp.ndarray,
+    groups: Tuple[Tuple[int, int], ...],
+    out_width: int,
+    extra: Optional[jnp.ndarray] = None,
+    extra_col: Optional[int] = None,
+) -> jnp.ndarray:
+    """Frequency-encode one or more coordinate groups into ONE lane tile.
+
+    x: (B, sum of group dims) — the groups' coordinates concatenated.
+    groups: ((d, num_freqs), ...) — each group's standard encoding
+    [x, sin(2^0 x), cos(2^0 x), ...] is laid out back to back, so packing
+    the position and direction encodings into a single 128-lane tile costs
+    one fused pass instead of two and feeds the fused kernels as one HBM
+    stream (the matmul weight rows are placed to match — see pack_params's
+    dir_packed layout).
+    """
+    b, d_total = x.shape
+    assert d_total == sum(d for d, _ in groups)
+    colsrc = np.full((out_width,), -1, np.int32)  # source coordinate per col
+    scale = np.zeros((out_width,), np.float32)
+    kind = np.zeros((out_width,), np.int32)  # 0 = linear/pad, 1 = trig
+    phase = np.zeros((out_width,), np.float32)  # pi/2 turns sin into cos
+    col = 0
+    base = 0
+    for d, num_freqs in groups:
+        for c in range(d):
+            colsrc[col] = base + c
+            scale[col] = 1.0
+            col += 1
+        for k in range(num_freqs):
+            for trig in (1, 2):
+                for c in range(d):
+                    colsrc[col] = base + c
+                    scale[col] = 2.0 ** k
+                    kind[col] = 1
+                    if trig == 2:
+                        phase[col] = np.float32(np.pi / 2)
+                    col += 1
+        base += d
+    assert col <= out_width
+    # One fused full-width elementwise pass in f32 (see _freq_encode_block).
+    xf = x.astype(jnp.float32)
+    colv = jnp.asarray(colsrc)[None, :]
+    xp = jnp.zeros((b, out_width), jnp.float32)
+    for c in range(d_total):
+        xp = jnp.where(colv == c, xf[:, c : c + 1], xp)
+    xp = xp * jnp.asarray(scale)[None, :] + jnp.asarray(phase)[None, :]
+    kindv = jnp.asarray(kind)[None, :]
+    out = jnp.where(kindv == 1, jnp.sin(xp), xp)
+    if extra is not None:
+        assert extra_col is not None and col <= extra_col < out_width, (
+            extra_col, col, out_width)
+        ecol = np.arange(out_width, dtype=np.int32)[None, :]
+        out = jnp.where(
+            jnp.asarray(ecol == extra_col),
+            extra.reshape(b, 1).astype(out.dtype), out,
+        )
+    return out
 
 
 def _freq_encode_block(x: jnp.ndarray, num_freqs: int, out_width: int,
@@ -223,66 +314,33 @@ def _freq_encode_block(x: jnp.ndarray, num_freqs: int, out_width: int,
     arrays — d of 128 vector lanes live — and when its result must be
     MATERIALIZED (it feeds a custom call, so XLA cannot fuse it into a
     matmul operand) the sin/concat chain alone cost ~320ms for 3.1M points.
-    Instead build every pre-trig column with ONE (B, d) @ (d, out_width)
-    matmul whose column c holds 2^k in the right row (exact: power-of-two
-    scaling), then apply sin / cos / identity full-width and select per
-    column. Bit-identical to the loop formulation.
+    Everything is ONE fused full-width elementwise pass in f32:
+    - coordinates are spread across lanes by constant-mask selects and
+      scaled by exact power-of-two multiplies (an earlier (B, d) @
+      (d, out_width) HIGHEST-precision projection was 6 bf16 MXU passes
+      over a contraction dim padded d -> 128, ~1 ms/step per pass; the
+      default-precision dot truncates f32 to bf16, and an 8-bit-mantissa
+      position times 2^11 is off by whole radians before the sin);
+    - f32 throughout: bf16 sin quantizes positions coarser than scene
+      detail at high frequencies;
+    - cosine columns are sin(2^k x + pi/2): a select between full-width
+      sin and cos expressions makes XLA evaluate BOTH transcendentals on
+      every lane. The phase add costs one f32 rounding of the argument
+      (<= ulp(2^k x)/2 ~ 1.2e-4 for |x| <= 1.5 at 2^11 — an order below
+      the bf16 cast the encoding feeds anyway).
     """
-    b, d = x.shape
-    colsrc = np.full((out_width,), -1, np.int32)  # source coordinate per col
-    scale = np.zeros((out_width,), np.float32)
-    kind = np.zeros((out_width,), np.int32)  # 0 = linear/pad, 1 = trig
-    phase = np.zeros((out_width,), np.float32)  # pi/2 turns sin into cos
-    for c in range(d):
-        colsrc[c] = c
-        scale[c] = 1.0
-    col = d
-    for k in range(num_freqs):
-        for trig in (1, 2):
-            for c in range(d):
-                colsrc[col] = c
-                scale[col] = 2.0 ** k
-                kind[col] = 1
-                if trig == 2:
-                    phase[col] = np.float32(np.pi / 2)
-                col += 1
-    assert col <= out_width
-    # Everything here is ONE fused full-width elementwise pass in f32:
-    # - coordinates are spread across lanes by constant-mask selects and
-    #   scaled by exact power-of-two multiplies (an earlier (B, d) @
-    #   (d, out_width) HIGHEST-precision projection was 6 bf16 MXU passes
-    #   over a contraction dim padded d -> 128, ~1 ms/step per pass; the
-    #   default-precision dot truncates f32 to bf16, and an 8-bit-mantissa
-    #   position times 2^11 is off by whole radians before the sin);
-    # - f32 throughout: bf16 sin quantizes positions coarser than scene
-    #   detail at high frequencies;
-    # - cosine columns are sin(2^k x + pi/2): a select between full-width
-    #   sin and cos expressions makes XLA evaluate BOTH transcendentals on
-    #   every lane. The phase add costs one f32 rounding of the argument
-    #   (<= ulp(2^k x)/2 ~ 1.2e-4 for |x| <= 1.5 at 2^11 — an order below
-    #   the bf16 cast the encoding feeds anyway).
-    xf = x.astype(jnp.float32)
-    colv = jnp.asarray(colsrc)[None, :]
-    xp = jnp.zeros((b, out_width), jnp.float32)
-    for c in range(d):
-        xp = jnp.where(colv == c, xf[:, c : c + 1], xp)
-    xp = xp * jnp.asarray(scale)[None, :] + jnp.asarray(phase)[None, :]
-    kindv = jnp.asarray(kind)[None, :]
-    out = jnp.where(kindv == 1, jnp.sin(xp), xp)
-    if extra is not None:
-        assert extra_col is not None and col <= extra_col < out_width, (
-            extra_col, col, out_width)
-        colv = np.arange(out_width, dtype=np.int32)[None, :]
-        out = jnp.where(
-            jnp.asarray(colv == extra_col),
-            extra.reshape(b, 1).astype(out.dtype), out,
-        )
-    return out
+    return _freq_encode_groups(
+        x, ((x.shape[1], num_freqs),), out_width, extra, extra_col
+    )
 
 
 def _mlp_kernel(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_pad: int,
-                compute_dtype, *refs):
+                dir_packed: bool, compute_dtype, *refs):
     """Kernel body. refs = [enc, (dir_enc), (app), weights..., out].
+
+    `dir_pad` is the dir weight-row block width; with `dir_packed` there is
+    no separate dir_enc stream — the dir-branch matmul reads the enc tile
+    (dir_pad == enc_pad) and the weight rows are laid out to match.
 
     Frequency encodings arrive PRE-COMPUTED (lane-padded, compute dtype):
     encoding inside the kernel operates on (block, 3) vectors — 3 of 128
@@ -293,7 +351,9 @@ def _mlp_kernel(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_pad: int,
     """
     it = iter(refs)
     enc_ref = next(it)
-    dir_enc_ref = next(it) if cfg.pos_dir_dim > 0 else None
+    dir_enc_ref = (
+        next(it) if (cfg.pos_dir_dim > 0 and not dir_packed) else None
+    )
     app_ref = next(it) if app_pad else None
 
     trunk = [(next(it), next(it)) for _ in range(cfg.layers)]
@@ -342,7 +402,7 @@ def _mlp_kernel(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_pad: int,
         ka = dir_a_k[...].astype(cd)
         acc = jnp.dot(final, ka[:d_model], preferred_element_type=jnp.float32)
         if cfg.pos_dir_dim > 0:
-            dir_enc = dir_enc_ref[...].astype(cd)
+            dir_enc = enc if dir_packed else dir_enc_ref[...].astype(cd)
             acc = acc + jnp.dot(
                 dir_enc, ka[d_model : d_model + dir_pad],
                 preferred_element_type=jnp.float32,
@@ -405,22 +465,39 @@ def fused_nerf_eval(
         arr.shape, lambda i: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM,
     )
 
-    enc = _freq_encode_block(
-        xyz.astype(jnp.float32), cfg.pos_xyz_dim, packed.enc_pad
-    ).astype(cfg.dtype)
-    inputs = [enc]
-    in_specs = [point_spec(packed.enc_pad)]
+    dir_coords = None
     if cfg.pos_dir_dim > 0:
         assert dirs is not None
         if cfg.ref_packed_dirs and cfg.appearance_dim == 0:
-            dir_in = jnp.concatenate([xyz[:, -1:], dirs[:, :2]], axis=-1)
+            dir_coords = jnp.concatenate([xyz[:, -1:], dirs[:, :2]], axis=-1)
         else:
-            dir_in = dirs
-        dir_enc = _freq_encode_block(
-            dir_in.astype(jnp.float32), cfg.pos_dir_dim, packed.dir_pad
+            dir_coords = dirs
+    if packed.dir_packed:
+        # Position + direction encodings in ONE pass and ONE stream.
+        enc = _freq_encode_groups(
+            jnp.concatenate(
+                [xyz.astype(jnp.float32), dir_coords.astype(jnp.float32)],
+                axis=-1,
+            ),
+            ((xyz.shape[1], cfg.pos_xyz_dim),
+             (dir_coords.shape[1], cfg.pos_dir_dim)),
+            packed.enc_pad,
         ).astype(cfg.dtype)
-        inputs.append(dir_enc)
-        in_specs.append(point_spec(packed.dir_pad))
+        inputs = [enc]
+        in_specs = [point_spec(packed.enc_pad)]
+    else:
+        enc = _freq_encode_block(
+            xyz.astype(jnp.float32), cfg.pos_xyz_dim, packed.enc_pad
+        ).astype(cfg.dtype)
+        inputs = [enc]
+        in_specs = [point_spec(packed.enc_pad)]
+        if cfg.pos_dir_dim > 0:
+            dir_enc = _freq_encode_block(
+                dir_coords.astype(jnp.float32), cfg.pos_dir_dim,
+                packed.dir_pad,
+            ).astype(cfg.dtype)
+            inputs.append(dir_enc)
+            in_specs.append(point_spec(packed.dir_pad))
     if packed.app_pad:
         assert app_embed is not None
         inputs.append(app_embed.astype(cfg.dtype))
@@ -438,8 +515,9 @@ def fused_nerf_eval(
     in_specs.extend(weight_spec(w) for w in weights)
 
     kernel = partial(
-        _mlp_kernel, cfg, packed.enc_pad, packed.dir_pad, packed.app_pad,
-        cfg.dtype,
+        _mlp_kernel, cfg, packed.enc_pad,
+        packed.enc_pad if packed.dir_packed else packed.dir_pad,
+        packed.app_pad, packed.dir_packed, cfg.dtype,
     )
     compiler_params = None
     if not interpret:

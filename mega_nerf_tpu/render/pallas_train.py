@@ -41,6 +41,7 @@ from mega_nerf_tpu.render.pallas_mlp import (
     LANE,
     PackedMLP,
     _freq_encode_block,
+    _freq_encode_groups,
     choose_block,
     pack_params,
     pad_points,
@@ -119,11 +120,15 @@ def _sigma_activate(cfg, sigma_pre, noise):
     return jnp.maximum(s, 0.0)
 
 
-def _train_fwd_kernel(cfg, enc_pad, dir_pad, app_w, noise_col, *refs):
+def _train_fwd_kernel(cfg, enc_pad, dir_pad, dir_packed, app_w, noise_col,
+                      *refs):
     it = iter(refs)
     enc_raw = next(it)[...]  # f32; noise rides in padding column noise_col
     enc = enc_raw.astype(cfg.dtype)
-    dir_enc = next(it)[...].astype(cfg.dtype) if dir_pad else None
+    if dir_packed:
+        dir_enc = enc  # dir encoding packed into the enc tile's padding
+    else:
+        dir_enc = next(it)[...].astype(cfg.dtype) if dir_pad else None
     app = next(it)[...].astype(cfg.dtype) if app_w else None
     # Sigma noise is stashed in a zero-weight padding lane of enc (see
     # _freq_encode_block): a separate (B, 1) input would stream a full
@@ -146,12 +151,16 @@ def _train_fwd_kernel(cfg, enc_pad, dir_pad, app_w, noise_col, *refs):
     out_ref[...] = out.astype(out_ref.dtype)
 
 
-def _train_bwd_kernel(cfg, enc_pad, dir_pad, app_w, noise_col, *refs):
+def _train_bwd_kernel(cfg, enc_pad, dir_pad, dir_packed, app_w, noise_col,
+                      *refs):
     cd = cfg.dtype
     it = iter(refs)
     enc_raw = next(it)[...]  # f32
     enc = enc_raw.astype(cd)
-    dir_enc = next(it)[...].astype(cd) if dir_pad else None
+    if dir_packed:
+        dir_enc = enc
+    else:
+        dir_enc = next(it)[...].astype(cd) if dir_pad else None
     app = next(it)[...].astype(cd) if app_w else None
     noise = enc_raw[:, noise_col:noise_col + 1] if noise_col is not None else 0.0
     # Raw output cotangent, masked into rgb/sigma lanes HERE: masking outside
@@ -262,13 +271,16 @@ def _weights_tuple(packed: PackedMLP) -> Tuple[jnp.ndarray, ...]:
 
 
 @functools.lru_cache(maxsize=32)
-def _make_train_fn(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_w: int,
-                   block: int, interpret: bool, noise_col: Optional[int]):
+def _make_train_fn(cfg: NeRFConfig, enc_pad: int, dir_pad: int,
+                   dir_packed: bool, app_w: int, block: int, interpret: bool,
+                   noise_col: Optional[int]):
     """custom_vjp'd fused apply: (ws, enc, dir_enc, app) -> (m, LANE).
 
     Sigma noise travels inside enc at padding column `noise_col` (None =
     no noise); the output cotangent goes to the backward kernel raw, with
-    the rgb/sigma lane masking done in-kernel.
+    the rgb/sigma lane masking done in-kernel. With `dir_packed` there is
+    no dir_enc operand (pass None): the direction encoding lives in the
+    enc tile and `dir_pad` is the dir weight-row block width (== enc_pad).
     """
 
     def fwd_call(ws, enc, dir_enc, app):
@@ -279,7 +291,7 @@ def _make_train_fn(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_w: int,
             0 for _ in a.shape))
         inputs = [enc]
         specs = [point(enc_pad)]
-        if dir_pad:
+        if dir_pad and not dir_packed:
             inputs.append(dir_enc); specs.append(point(dir_pad))
         if app_w:
             inputs.append(app); specs.append(point(app_w))
@@ -287,7 +299,8 @@ def _make_train_fn(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_w: int,
         specs.extend(whole(w) for w in ws)
         return pl.pallas_call(
             functools.partial(
-                _train_fwd_kernel, cfg, enc_pad, dir_pad, app_w, noise_col
+                _train_fwd_kernel, cfg, enc_pad, dir_pad, dir_packed, app_w,
+                noise_col,
             ),
             grid=grid,
             in_specs=specs,
@@ -306,7 +319,7 @@ def _make_train_fn(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_w: int,
             0 for _ in a.shape))
         inputs = [enc]
         specs = [point(enc_pad)]
-        if dir_pad:
+        if dir_pad and not dir_packed:
             inputs.append(dir_enc); specs.append(point(dir_pad))
         if app_w:
             inputs.append(app); specs.append(point(app_w))
@@ -325,7 +338,8 @@ def _make_train_fn(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_w: int,
             out_specs.append(whole(w))
         outs = pl.pallas_call(
             functools.partial(
-                _train_bwd_kernel, cfg, enc_pad, dir_pad, app_w, noise_col
+                _train_bwd_kernel, cfg, enc_pad, dir_pad, dir_packed, app_w,
+                noise_col,
             ),
             grid=grid,
             in_specs=specs,
@@ -373,6 +387,7 @@ def fused_nerf_train_apply(
     sigma_noise: Optional[jnp.ndarray],  # (M,) or (M, 1), or None
     block: int = 1024,
     interpret: Optional[bool] = None,
+    dir_pack: bool = False,
 ) -> jnp.ndarray:
     """Differentiable fused forward -> (M, 4) [sigmoid rgb, activated sigma].
 
@@ -382,7 +397,12 @@ def fused_nerf_train_apply(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    packed = pack_params(cfg, params, cast=False)
+    # dir_pack defaults OFF here: the packed-dir TRAIN kernels hang the
+    # Mosaic remote compiler on real v5e (the eval kernel with the
+    # identical packed layout compiles and runs — still bisecting). The
+    # packed train layout keeps an interpret-mode test (dir_pack=True)
+    # until it can be re-enabled.
+    packed = pack_params(cfg, params, cast=False, dir_pack=dir_pack)
     m = xyz.shape[0]
     block, m_pad = choose_block(m, block)
 
@@ -391,32 +411,53 @@ def fused_nerf_train_apply(
     # standalone (M, 1) array would tile to (M, 128) physically in HBM.
     noise_col = None
     if sigma_noise is not None:
-        noise_col = cfg.xyz_dim * (1 + 2 * cfg.pos_xyz_dim)
+        noise_col = packed.enc_in + packed.dir_in if packed.dir_packed \
+            else packed.enc_in
         assert noise_col < packed.enc_pad, (noise_col, packed.enc_pad)
-    enc = _freq_encode_block(
-        xyz.astype(jnp.float32), cfg.pos_xyz_dim, packed.enc_pad,
-        extra=None if sigma_noise is None
-        else sigma_noise.astype(jnp.float32).reshape(m),
-        extra_col=noise_col,
-    )
-    dir_enc = None
+    noise_flat = None if sigma_noise is None \
+        else sigma_noise.astype(jnp.float32).reshape(m)
+    dir_coords = None
     if cfg.pos_dir_dim > 0:
         assert dirs is not None
         if cfg.ref_packed_dirs and cfg.appearance_dim == 0:
-            dir_in = jnp.concatenate([xyz[:, -1:], dirs[:, :2]], axis=-1)
+            dir_coords = jnp.concatenate([xyz[:, -1:], dirs[:, :2]], axis=-1)
         else:
-            dir_in = dirs
-        dir_enc = _freq_encode_block(
-            dir_in.astype(jnp.float32), cfg.pos_dir_dim, packed.dir_pad
+            dir_coords = dirs
+    dir_enc = None
+    if packed.dir_packed:
+        # Position + direction encodings in ONE pass and ONE stream (see
+        # pack_params's dir_packed layout).
+        enc = _freq_encode_groups(
+            jnp.concatenate(
+                [xyz.astype(jnp.float32), dir_coords.astype(jnp.float32)],
+                axis=-1,
+            ),
+            ((xyz.shape[1], cfg.pos_xyz_dim),
+             (dir_coords.shape[1], cfg.pos_dir_dim)),
+            packed.enc_pad,
+            extra=noise_flat,
+            extra_col=noise_col,
         )
+    else:
+        enc = _freq_encode_block(
+            xyz.astype(jnp.float32), cfg.pos_xyz_dim, packed.enc_pad,
+            extra=noise_flat,
+            extra_col=noise_col,
+        )
+        if cfg.pos_dir_dim > 0:
+            dir_enc = _freq_encode_block(
+                dir_coords.astype(jnp.float32), cfg.pos_dir_dim,
+                packed.dir_pad,
+            )
     app_w = 0
     if cfg.appearance_dim > 0 and not cfg.affine_appearance:
         assert app_embed is not None
         app_w = app_embed.shape[-1]
 
     fn = _make_train_fn(
-        cfg, packed.enc_pad, packed.dir_pad, app_w, block, interpret,
-        noise_col,
+        cfg, packed.enc_pad,
+        packed.enc_pad if packed.dir_packed else packed.dir_pad,
+        packed.dir_packed, app_w, block, interpret, noise_col,
     )
     out = fn(
         _weights_tuple(packed),
