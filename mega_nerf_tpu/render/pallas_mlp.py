@@ -141,8 +141,9 @@ def pack_params(cfg: NeRFConfig, params: Dict[str, Any],
     # with one column to spare (the training sigma noise rides in the first
     # free column). Covers the whole reference config family: fg 75+27+1,
     # bg (xyz_dim=4) 100+27+1 <= 128. `dir_pack` overrides the fit rule
-    # (pallas_train passes False: the packed TRAIN kernels hang the Mosaic
-    # remote compiler on v5e — under bisection; the eval kernel is proven).
+    # (pallas_train passes False: the packed TRAIN kernels hang this
+    # environment's terminal-side libtpu build — fixed in newer libtpu;
+    # see fused_nerf_train_apply. The eval kernel is proven everywhere).
     if dir_pack is None:
         dir_pack = DIR_PACK_ENABLED
     dir_packed = dir_pack and dir_in > 0 and enc_in + dir_in + 1 <= enc_pad

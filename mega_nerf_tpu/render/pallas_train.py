@@ -397,11 +397,14 @@ def fused_nerf_train_apply(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    # dir_pack defaults OFF here: the packed-dir TRAIN kernels hang the
-    # Mosaic remote compiler on real v5e (the eval kernel with the
-    # identical packed layout compiles and runs — still bisecting). The
-    # packed train layout keeps an interpret-mode test (dir_pack=True)
-    # until it can be re-enabled.
+    # dir_pack defaults OFF here: the packed-dir TRAIN kernels hang this
+    # environment's TERMINAL-side Mosaic compiler (libtpu Nov 2025 build)
+    # on v5e; the same kernels AOT-compile in seconds against the newer
+    # local libtpu (Jan 2026) — a since-fixed compiler bug, bisected via
+    # axon's chipless local_only registration. The eval kernel with the
+    # identical packed layout compiles and runs everywhere. Re-enable once
+    # the serving terminal's libtpu catches up; until then the packed
+    # train layout keeps a gradient-exact interpret-mode test.
     packed = pack_params(cfg, params, cast=False, dir_pack=dir_pack)
     m = xyz.shape[0]
     block, m_pad = choose_block(m, block)
