@@ -88,3 +88,36 @@ def test_renderer_pallas_path_matches_xla():
     np.testing.assert_allclose(
         np.asarray(r0["depth_fine"]), np.asarray(r1["depth_fine"]), atol=5e-4
     )
+
+
+def test_freq_encode_groups_packed_layout():
+    """The packed two-group encode tile is column-exactly the two separate
+    encodes laid back to back (the dir_packed weight rows rely on this)."""
+    import numpy as np
+
+    from mega_nerf_tpu.render.pallas_mlp import (
+        _freq_encode_block,
+        _freq_encode_groups,
+    )
+
+    rng = np.random.default_rng(0)
+    xyz = jnp.asarray(rng.normal(size=(16, 3)), jnp.float32)
+    dirs = jnp.asarray(rng.normal(size=(16, 3)), jnp.float32)
+    nfx, nfd = 12, 4
+    enc_in = 3 * (1 + 2 * nfx)   # 75
+    dir_in = 3 * (1 + 2 * nfd)   # 27
+    noise = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    packed = _freq_encode_groups(
+        jnp.concatenate([xyz, dirs], axis=-1),
+        ((3, nfx), (3, nfd)), 128,
+        extra=noise, extra_col=enc_in + dir_in,
+    )
+    sep_x = _freq_encode_block(xyz, nfx, enc_in)
+    sep_d = _freq_encode_block(dirs, nfd, dir_in)
+    np.testing.assert_array_equal(np.asarray(packed[:, :enc_in]),
+                                  np.asarray(sep_x))
+    np.testing.assert_array_equal(
+        np.asarray(packed[:, enc_in:enc_in + dir_in]), np.asarray(sep_d))
+    np.testing.assert_array_equal(
+        np.asarray(packed[:, enc_in + dir_in]), np.asarray(noise))
+    assert not np.any(np.asarray(packed[:, enc_in + dir_in + 1:]))
