@@ -105,9 +105,23 @@ def lpips(rgbs: np.ndarray, target_rgbs: np.ndarray) -> Dict[str, float]:
 
     out: Dict[str, float] = {}
     for net in jlpips.available_nets():
-        if net not in _LPIPS_CACHE:
-            _LPIPS_CACHE[net] = jlpips.LPIPS.from_npz(net)
-        out[net] = float(_LPIPS_CACHE[net](rgbs, target_rgbs))
+        # A corrupt/stale-contract weight file degrades to fewer metrics
+        # (warn once) rather than killing a multi-hour run at its first
+        # validation — matching the old torch-path behavior.
+        try:
+            if net not in _LPIPS_CACHE:
+                _LPIPS_CACHE[net] = jlpips.LPIPS.from_npz(net)
+            out[net] = float(_LPIPS_CACHE[net](rgbs, target_rgbs))
+        except Exception as e:  # noqa: BLE001 — metric is best-effort
+            key = f"warned_{net}"
+            if key not in _LPIPS_CACHE:
+                _LPIPS_CACHE[key] = True
+                import warnings
+
+                warnings.warn(
+                    f"lpips-{net} weights unusable ({type(e).__name__}: {e});"
+                    " skipping this net"
+                )
 
     remaining = [n for n in ("vgg", "alex", "squeeze") if n not in out]
     if remaining:

@@ -46,35 +46,51 @@ def shard_batch(mesh: Mesh, batch, with_cell_axis: bool = False):
     `jax.make_array_from_process_local_data` assembles the global sharded
     array. Single-process, this is exactly `device_put`.
     """
-    spec = P(("cell", "data")) if not with_cell_axis else P("cell", "data")
-    return _place(mesh, batch, spec)
+    if with_cell_axis:
+        # CellDataset builds the FULL (cells, global_batch, ...) batch on
+        # every process (streams are seed-deterministic, so hosts agree) —
+        # full-value placement, jax slices out each device's block.
+        return _place(mesh, batch, P("cell", "data"), full_value=True)
+    # Data-parallel contract: each process passes its PROCESS-LOCAL batch
+    # slice (the DistributedSampler equivalent) and the global batch shape
+    # is inferred.
+    return _place(mesh, batch, P(("cell", "data")), full_value=False)
 
 
 def replicate(mesh: Mesh, tree):
     """Fully replicate a pytree over the mesh. Multi-process: every process
     must pass the same values (params from the same seed / checkpoint)."""
-    return _place(mesh, tree, P())
+    return _place(mesh, tree, P(), full_value=True)
 
 
 def shard_over_cells(mesh: Mesh, tree):
     """Shard a stacked (leading axis = cell) pytree over the 'cell' axis,
     replicated over 'data'. Multi-process: every process passes the full
     stacked tree; each keeps only its addressable cells."""
-    return _place(mesh, tree, P("cell"))
+    return _place(mesh, tree, P("cell"), full_value=True)
 
 
-def _place(mesh: Mesh, tree, spec: P):
+def _place(mesh: Mesh, tree, spec: P, full_value: bool):
     sharding = NamedSharding(mesh, spec)
     if jax.process_count() == 1:
         return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
     # device_put onto a multi-host sharding would allgather-verify host
     # values (slow) or reject host-local data outright;
     # make_array_from_process_local_data is the supported assembly path.
-    # For replicated dims it expects the full value on every process, which
-    # is exactly what our callers pass.
+    #
+    # full_value=True: every process passes the ENTIRE array and jax maps
+    # each device to its slice — signalled by global_shape == local shape.
+    # Without it, jax infers an INFLATED global shape (local * number of
+    # process-chunks) for any dimension whose mesh axis spans processes,
+    # e.g. a cell=8 stack placed on a 4-process v4-32 would become a
+    # 32-cell global array.
+    #
+    # full_value=False: each process passes its process-local slice and
+    # the global shape is inferred (uniform sharding).
     return jax.tree.map(
         lambda x: jax.make_array_from_process_local_data(
-            sharding, np.asarray(x)
+            sharding, np.asarray(x),
+            global_shape=np.asarray(x).shape if full_value else None,
         ),
         tree,
     )

@@ -26,7 +26,6 @@ the per-cell mask dirs 0..K-1.
 from __future__ import annotations
 
 import sys
-import time
 from argparse import Namespace
 from pathlib import Path
 from typing import Dict, List, Optional
@@ -50,7 +49,7 @@ from mega_nerf_tpu.parallel.train_step import (
 from mega_nerf_tpu.render.rendering import RenderSettings
 from mega_nerf_tpu.runtime import checkpoints as ckpt_io
 from mega_nerf_tpu.runtime.logging import MetricsWriter, main_print
-from mega_nerf_tpu.runtime.runner import METRICS_CHECK_INTERVAL, Runner
+from mega_nerf_tpu.runtime.runner import Runner, TrainLoopHooks
 
 
 class CellRunner(Runner):
@@ -186,8 +185,11 @@ class CellRunner(Runner):
             if self.is_master else None
         )
         metrics_host: Dict[str, np.ndarray] = {}
-        throughput_t0 = None
-        throughput_step0 = train_iterations
+        hooks = TrainLoopHooks(
+            hp, self.is_master, self.cell_paths[0] / "profile",
+            rays_per_step=hp.batch_size * self.num_cells,
+            start_iteration=train_iterations,
+        )
         while train_iterations < hp.train_iterations:
             batch = dataset.next_batch(hp.batch_size)
             batch = shard_batch(self.mesh, batch, with_cell_axis=True)
@@ -196,29 +198,17 @@ class CellRunner(Runner):
                 jax.block_until_ready(metrics)
             train_iterations += 1
 
-            if train_iterations % METRICS_CHECK_INTERVAL == 0 or (
-                train_iterations >= hp.train_iterations
-            ):
+            hooks.maybe_profile(train_iterations, metrics)
+
+            if hooks.metrics_due(train_iterations):
                 # metrics are (num_cells,) per key.
                 metrics_host = {k: np.asarray(v) for k, v in metrics.items()}
-                for k, v in metrics_host.items():
-                    finite = np.isfinite(v) | (k == "psnr")
-                    if not finite.all():
-                        raise Exception(
-                            f"Train metrics not finite in {k}: {v.tolist()}"
-                        )
-                now = time.perf_counter()
-                if throughput_t0 is not None and self.writer is not None:
-                    rays_per_sec = (
-                        (train_iterations - throughput_step0)
-                        * hp.batch_size * self.num_cells
-                        / (now - throughput_t0)
-                    )
+                hooks.check_finite(metrics_host)
+                rays_per_sec = hooks.throughput(train_iterations)
+                if self.writer is not None and rays_per_sec is not None:
                     self.writer.add_scalar(
                         "train/rays_per_sec", rays_per_sec, train_iterations
                     )
-                throughput_t0 = now
-                throughput_step0 = train_iterations
                 if self.writer is not None:
                     for k, v in metrics_host.items():
                         self.writer.add_scalar(

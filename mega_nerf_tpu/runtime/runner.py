@@ -21,6 +21,7 @@ pure jitted train step and explicit state:
 from __future__ import annotations
 
 import sys
+import time
 from argparse import Namespace
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
@@ -64,6 +65,67 @@ def _eval_chunk_cap(hparams: Namespace, n_local: int) -> int:
     """Max rays per eval render call that keeps every MLP pass in budget."""
     s_max = max(hparams.coarse_samples, hparams.fine_samples, 1)
     return max(n_local, EVAL_POINT_BUDGET // s_max)
+
+
+class TrainLoopHooks:
+    """Instrumentation shared by Runner.train and CellRunner.train:
+    jax.profiler trace windows (SURVEY §5.1), the periodic non-finite
+    metric guard (SURVEY §5.2), and throughput accounting — one
+    implementation so the two loops cannot drift."""
+
+    def __init__(self, hparams: Namespace, is_master: bool, profile_dir,
+                 rays_per_step: int, start_iteration: int):
+        self.is_master = is_master
+        self.profile_dir = profile_dir
+        self.rays_per_step = rays_per_step
+        self.total = hparams.train_iterations
+        self.profile_steps = getattr(hparams, "profile_steps", 0)
+        self.profile_start = start_iteration + 10
+        self.profiling = False
+        self.t0: Optional[float] = None
+        self.step0 = start_iteration
+
+    def maybe_profile(self, iteration: int, metrics) -> None:
+        if self.profile_steps <= 0 or not self.is_master:
+            return
+        if iteration == self.profile_start:
+            jax.profiler.start_trace(str(self.profile_dir))
+            self.profiling = True
+        elif self.profiling and iteration >= (
+            self.profile_start + self.profile_steps
+        ):
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+            self.profiling = False
+            main_print(f"Wrote profiler trace to {self.profile_dir}")
+
+    def metrics_due(self, iteration: int) -> bool:
+        return iteration % METRICS_CHECK_INTERVAL == 0 or (
+            iteration >= self.total
+        )
+
+    @staticmethod
+    def check_finite(metrics_host) -> None:
+        """psnr may be +/-inf (a perfectly-fit batch), never NaN; every
+        other metric must be finite (reference `runner.py:255-261`)."""
+        for k, v in metrics_host.items():
+            arr = np.asarray(v)
+            ok = np.isfinite(arr) | ((k == "psnr") & np.isinf(arr))
+            if not ok.all():
+                raise Exception(f"Train metrics not finite in {k}: {v}")
+
+    def throughput(self, iteration: int) -> Optional[float]:
+        """rays/s since the previous metrics checkpoint (None on the first)."""
+        now = time.perf_counter()
+        rays = None
+        if self.t0 is not None:
+            rays = (
+                (iteration - self.step0) * self.rays_per_step
+                / (now - self.t0)
+            )
+        self.t0 = now
+        self.step0 = iteration
+        return rays
 
 
 class Runner:
@@ -261,13 +323,13 @@ class Runner:
         epoch = start_epoch
         dataset_index = -1
         last_metrics = None
-        # Profiling/throughput instrumentation (SURVEY §5.1: the reference
-        # has none; we trace via jax.profiler and log rays/sec).
-        profile_steps = getattr(hp, "profile_steps", 0)
-        profile_start = train_iterations + 10
-        profiling = False
-        throughput_t0 = None
-        throughput_step0 = train_iterations
+        hooks = TrainLoopHooks(
+            hp, self.is_master,
+            (self.experiment_path / "profile")
+            if self.experiment_path is not None else None,
+            rays_per_step=hp.batch_size,
+            start_iteration=train_iterations,
+        )
         while train_iterations < hp.train_iterations:
             epoch_rng = np.random.default_rng((hp.random_seed, epoch))
             for dataset_index, batch in enumerate(
@@ -288,48 +350,18 @@ class Runner:
                 last_metrics = metrics
                 train_iterations += 1
 
-                if profile_steps > 0 and self.is_master:
-                    if train_iterations == profile_start:
-                        jax.profiler.start_trace(
-                            str(self.experiment_path / "profile")
-                        )
-                        profiling = True
-                    elif profiling and train_iterations >= (
-                        profile_start + profile_steps
-                    ):
-                        jax.block_until_ready(metrics)
-                        jax.profiler.stop_trace()
-                        profiling = False
-                        main_print(
-                            f"Wrote profiler trace to {self.experiment_path}/profile"
-                        )
+                hooks.maybe_profile(train_iterations, metrics)
 
-                if train_iterations % METRICS_CHECK_INTERVAL == 0 or (
-                    train_iterations >= hp.train_iterations
-                ):
+                if hooks.metrics_due(train_iterations):
                     metrics_host = {k: float(v) for k, v in metrics.items()}
-                    for k, v in metrics_host.items():
-                        if k == "psnr" and np.isinf(v):
-                            continue
-                        if not np.isfinite(v):
-                            raise Exception(
-                                f"Train metrics not finite: {metrics_host}"
-                            )
-                    import time as _time
-
-                    now = _time.perf_counter()
-                    if throughput_t0 is not None and self.writer is not None:
-                        rays_per_sec = (
-                            (train_iterations - throughput_step0)
-                            * hp.batch_size / (now - throughput_t0)
-                        )
-                        self.writer.add_scalar(
-                            "train/rays_per_sec", rays_per_sec, train_iterations
-                        )
-                    throughput_t0 = now
-                    throughput_step0 = train_iterations
-
+                    hooks.check_finite(metrics_host)
+                    rays_per_sec = hooks.throughput(train_iterations)
                     if self.writer is not None:
+                        if rays_per_sec is not None:
+                            self.writer.add_scalar(
+                                "train/rays_per_sec", rays_per_sec,
+                                train_iterations,
+                            )
                         for k, v in metrics_host.items():
                             self.writer.add_scalar(f"train/{k}", v, train_iterations)
 
@@ -476,7 +508,13 @@ class Runner:
     # ------------------------------------------------------------- validation
 
     def _run_validation(self, state: TrainState, train_index: int) -> Dict[str, float]:
+        """Render + score the val images (strided over processes). Returns
+        AVERAGES over the images each metric was actually computed on —
+        counts ride along the allgather so a metric some ranks cannot
+        produce (e.g. LPIPS weights staged on one host) is averaged over
+        its real coverage instead of silently diluted by len(val_items)."""
         val_metrics: Dict[str, float] = {}
+        val_counts: Dict[str, int] = {}
         # Keep params on device: a host copy here would re-upload the full
         # parameter pytree on every image chunk below (render_fn is called
         # with the same arrays chunk after chunk).
@@ -511,6 +549,7 @@ class Runner:
                 if self.writer is not None:
                     self.writer.add_scalar(f"{key}/{i}", value, train_index)
                 val_metrics[key] = val_metrics.get(key, 0.0) + value
+                val_counts[key] = val_counts.get(key, 0) + 1
 
             depth = np.asarray(results[f"depth_{typ}"]).reshape(viz_rgbs.shape[:2])
             if f"fg_depth_{typ}" in results:
@@ -526,9 +565,11 @@ class Runner:
                 self.writer.add_image(f"val/{i}", panel, train_index)
 
         if jax.process_count() > 1:
-            # Sum the per-rank partial sums so the master's average covers
-            # ALL val images, not just its strided shard (the reference
-            # gathers per-rank metric files + barrier, runner.py:495-510).
+            # Sum the per-rank partial sums AND counts so the master's
+            # average covers every image the metric was computed on (the
+            # reference gathers per-rank metric files + barrier,
+            # runner.py:495-510). Counts — not a value!=0 filter —
+            # distinguish "not computed" from "computed as zero".
             from jax.experimental import multihost_utils
 
             keys = (
@@ -536,19 +577,28 @@ class Runner:
                 "val/lpips/vgg", "val/lpips/alex", "val/lpips/squeeze",
             )
             vec = np.asarray(
-                [val_metrics.get(k, 0.0) for k in keys], np.float32
+                [val_metrics.get(k, 0.0) for k in keys]
+                + [float(val_counts.get(k, 0)) for k in keys],
+                np.float64,
             )
-            total = np.asarray(multihost_utils.process_allgather(vec)).sum(0)
-            val_metrics = {
-                k: float(v) for k, v in zip(keys, total) if v != 0.0
+            total = np.asarray(
+                multihost_utils.process_allgather(vec), np.float64
+            ).sum(0)
+            sums, counts = total[: len(keys)], total[len(keys):]
+            return {
+                k: float(s / c)
+                for k, s, c in zip(keys, sums, counts)
+                if c > 0
             }
-        return val_metrics
+        return {
+            k: v / val_counts[k] for k, v in val_metrics.items()
+        }
 
     def _write_final_metrics(self, val_metrics: Dict[str, float]) -> None:
+        """val_metrics are per-image AVERAGES (see _run_validation)."""
         if self.is_master and self.experiment_path is not None:
             with (self.experiment_path / "metrics.txt").open("w") as f:
-                for key in val_metrics:
-                    avg = val_metrics[key] / len(self.val_items)
+                for key, avg in val_metrics.items():
                     message = f"Average {key}: {avg}"
                     main_print(message)
                     f.write(message + "\n")
@@ -605,7 +655,11 @@ class Runner:
         the eval jit runs on the local mesh, so they take one hop through
         the host — negligible next to rendering a full image."""
         cached = getattr(self, "_eval_params_cache", None)
-        if cached is not None and cached[0] == id(state):
+        # Keyed on the state OBJECT (held strongly so its id cannot be
+        # recycled): an `id(state)` key alone can spuriously hit when
+        # CPython reuses a freed TrainState's address across validations,
+        # silently rendering with the PREVIOUS validation's weights.
+        if cached is not None and cached[0] is state:
             return cached[1]
         self._get_eval_render_fn()
         placed = jax.device_put(
@@ -614,7 +668,7 @@ class Runner:
              else None),
             self._eval_replicated,
         )
-        self._eval_params_cache = (id(state), placed)
+        self._eval_params_cache = (state, placed)
         return placed
 
     def render_image(

@@ -139,6 +139,33 @@ if process_id == 0:
 multihost_utils.sync_global_devices("legacy_store_ready")
 stream_check(workdir / "chunks_legacy", "shared_chunk")
 
+# --- 4. cell-spanning mesh placement (full-value contract) ---
+# mesh cell=2 x data=4 on 2 processes of 4 devices: the 'cell' axis spans
+# processes. Every process passes the FULL cell-stacked array;
+# global_shape == local shape tells jax to slice (without it, the global
+# cell dimension would be inflated to 4 — the v4-32 cell=8 x data=4 bug).
+import jax.numpy as jnp
+
+from mega_nerf_tpu.parallel.mesh import make_mesh, shard_batch, shard_over_cells
+
+cell_mesh = make_mesh(cell_axis=2)
+stack = np.arange(2 * 6, dtype=np.float32).reshape(2, 6) + 100.0
+placed = shard_over_cells(cell_mesh, stack)
+assert placed.shape == (2, 6), placed.shape
+for shard in placed.addressable_shards:
+    np.testing.assert_array_equal(np.asarray(shard.data), stack[shard.index])
+assert float(jax.jit(jnp.sum)(placed)) == float(stack.sum())
+
+cbatch = {"rays": np.arange(2 * 8 * 3, dtype=np.float32).reshape(2, 8, 3)}
+pb = shard_batch(cell_mesh, cbatch, with_cell_axis=True)
+assert pb["rays"].shape == (2, 8, 3), pb["rays"].shape
+for shard in pb["rays"].addressable_shards:
+    np.testing.assert_array_equal(
+        np.asarray(shard.data), cbatch["rays"][shard.index]
+    )
+assert float(jax.jit(jnp.sum)(pb["rays"])) == float(cbatch["rays"].sum())
+result["cell_mesh_ok"] = True
+
 with open(workdir / f"result_{process_id}.json", "w") as f:
     json.dump(result, f)
 print(f"worker {process_id}: OK", flush=True)
