@@ -61,10 +61,17 @@ METRICS_CHECK_INTERVAL = 100  # steps between host-side non-finite guards
 EVAL_POINT_BUDGET = 8 * 1024 * 1024
 
 
-def _eval_chunk_cap(hparams: Namespace, n_local: int) -> int:
-    """Max rays per eval render call that keeps every MLP pass in budget."""
+def _eval_chunk_cap(
+    hparams: Namespace, n_local: int, submodules: int = 1
+) -> int:
+    """Max rays per eval render call that keeps every MLP pass in budget.
+
+    `submodules` > 1 for MegaNeRF mixtures: the dense blend evaluates every
+    submodule on every point (models/mega.py), multiplying the per-point
+    activation footprint — a merged 2-cell eval at the plain cap OOM'd
+    24.5G of 15.75G hbm on v5e."""
     s_max = max(hparams.coarse_samples, hparams.fine_samples, 1)
-    return max(n_local, EVAL_POINT_BUDGET // s_max)
+    return max(n_local, EVAL_POINT_BUDGET // (s_max * max(submodules, 1)))
 
 
 class TrainLoopHooks:
@@ -684,7 +691,13 @@ class Runner:
         n = rays.shape[0]
         # Chunks divide evenly over the local chips (rays shard over 'ldata').
         n_local = jax.local_device_count()
-        chunk = min(hp.image_pixel_batch_size, n, _eval_chunk_cap(hp, n_local))
+        submodules = (
+            int(self.fg.centroids.shape[0]) if self.fg.is_mega else 1
+        )
+        chunk = min(
+            hp.image_pixel_batch_size, n,
+            _eval_chunk_cap(hp, n_local, submodules),
+        )
         chunk = ((chunk + n_local - 1) // n_local) * n_local
         n_padded = ((n + chunk - 1) // chunk) * chunk
         rays = np.concatenate([rays, np.tile(rays[-1:], (n_padded - n, 1))])

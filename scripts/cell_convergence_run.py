@@ -1,0 +1,167 @@
+"""On-chip END-TO-END cell-parallel convergence run.
+
+Drives the flagship Mega-NeRF workflow — the reference's masks -> 8
+parallel jobs -> merge pipeline (`/root/reference/parscripts/run_8.txt`,
+`/root/reference/scripts/merge_submodules.py:24-77`) — as ONE program on
+real hardware at paper model scale:
+
+  synthetic multi-image scene -> create_cluster_masks (2x1 grid) ->
+  CellRunner one-program 2-cell training (vmapped cells on one chip, or
+  sharded over a 'cell' mesh axis when chips allow) -> per-cell
+  checkpoints in the merge layout -> merge_submodules container ->
+  merged-model right-half val PSNR.
+
+Reports a JSON summary: sustained cell-parallel rays/s and merged PSNR.
+
+Usage: python scripts/cell_convergence_run.py [--steps 8000]
+       [--workdir .exp/cell_convergence]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from argparse import Namespace
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=8000)
+    ap.add_argument("--workdir", type=str, default=".exp/cell_convergence")
+    ap.add_argument("--cell_axis", type=int, default=1)
+    ap.add_argument("--hw", type=int, default=128)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny model/scene: wiring check on CPU")
+    args = ap.parse_args()
+    model_args = [
+        "--coarse_samples", "256", "--fine_samples", "512",
+        "--pos_xyz_dim", "12", "--pos_dir_dim", "4",
+        "--layers", "8", "--skip_layers", "4",
+        "--layer_dim", "256", "--bg_layer_dim", "256",
+        "--appearance_dim", "48",
+    ]
+    if args.smoke:
+        args.hw = 24
+        model_args = [
+            "--coarse_samples", "32", "--fine_samples", "64",
+            "--pos_xyz_dim", "6", "--pos_dir_dim", "2",
+            "--layers", "2", "--skip_layers", "1",
+            "--layer_dim", "32", "--bg_layer_dim", "32",
+            "--appearance_dim", "8",
+        ]
+
+    work = Path(args.workdir)
+    work.mkdir(parents=True, exist_ok=True)
+
+    # --- 1. synthetic scene (reference dataset layout, SURVEY §2.6) ---
+    from tests.synthetic import make_synthetic_dataset
+
+    ds = work / "ds"
+    if not (ds / "coordinates.pt").exists():
+        print("building synthetic dataset...")
+        make_synthetic_dataset(ds, n_train=28, n_val=2, hw=(args.hw, args.hw))
+
+    # --- 2. cluster masks: 2x1 grid ---
+    import scripts.create_cluster_masks as ccm
+
+    masks = work / "masks"
+    if not (masks / "params.pt").exists():
+        print("creating cluster masks...")
+        ccm.main(Namespace(
+            dataset_path=str(ds), segmentation_path=None, output=str(masks),
+            grid_dim=[2, 1], ray_samples=256, ray_chunk_size=48 * 1024,
+            resume=False, ray_altitude_range=[-2.0, 2.0], near=0.5, far=3.5,
+            center_pixels=True, cluster_2d=False, boundary_margin=1.15,
+        ))
+
+    # --- 3. ONE-program 2-cell training at paper model scale ---
+    from mega_nerf_tpu.opts import get_opts_base, parse_opts
+    from mega_nerf_tpu.runtime.cell_runner import CellRunner
+
+    parser = get_opts_base()
+    parser.add_argument("--exp_name", type=str, default=str(work / "sub"))
+    parser.add_argument("--dataset_path", type=str, default=str(ds))
+    hp = parse_opts(parser, [
+        "--cluster_mask_path", str(masks),
+        "--cell_axis", str(args.cell_axis),
+        "--chunk_paths", str(work / "chunks"),
+        "--num_chunks", "8",
+        "--near", "0.5",
+        "--ray_altitude_range", "-2.0", "2.0",
+    ] + model_args + [
+        "--batch_size", "1024",
+        "--lr", "5e-4", "--lr_decay_factor", "0.1",
+        "--train_iterations", str(args.steps),
+        "--ckpt_interval", str(args.steps),
+        "--val_interval", str(10 * args.steps),
+        "--val_scale_factor", "1",
+        "--compute_dtype", "bfloat16",
+    ])
+
+    t0 = time.perf_counter()
+    runner = CellRunner(hp)
+    num_cells = runner.num_cells
+    runner.train()
+    train_wall = time.perf_counter() - t0
+
+    # --- 4. merge the per-cell checkpoints into one container ---
+    import scripts.merge_submodules as ms
+
+    merged = work / "merged.pt"
+    mhp = parse_opts(get_opts_base(), [
+        "--near", "0.5", "--ray_altitude_range", "-2.0", "2.0",
+    ] + model_args + [
+        "--train_iterations", str(args.steps),
+    ])
+    mhp.ckpt_prefix = str(work / "sub")
+    mhp.centroid_path = str(masks / "params.pt")
+    mhp.output = str(merged)
+    mhp.torchscript = False
+    ms.main(mhp)
+
+    # --- 5. merged-model eval: right-half val PSNR ---
+    from mega_nerf_tpu.runtime.runner import Runner
+
+    eparser = get_opts_base()
+    eparser.add_argument("--exp_name", type=str, default=str(work / "eval"))
+    eparser.add_argument("--dataset_path", type=str, default=str(ds))
+    ehp = parse_opts(eparser, [
+        "--container_path", str(merged),
+        "--near", "0.5", "--ray_altitude_range", "-2.0", "2.0",
+    ] + model_args + [
+        "--val_scale_factor", "1",
+        "--compute_dtype", "bfloat16",
+    ])
+    eval_runner = Runner(ehp)
+    eval_runner.eval()
+    exp = sorted(
+        (p for p in Path(ehp.exp_name).iterdir() if p.name.isdigit()),
+        key=lambda p: int(p.name),
+    )[-1]
+    metrics = (exp / "metrics.txt").read_text()
+    psnr = float(
+        [l for l in metrics.splitlines() if "val/psnr" in l][0].split(":")[-1]
+    )
+
+    summary = {
+        "steps": args.steps,
+        "num_cells": num_cells,
+        "cell_axis": args.cell_axis,
+        "train_wall_seconds": round(train_wall, 1),
+        "cell_parallel_rays_per_sec": round(
+            args.steps * hp.batch_size * num_cells / train_wall, 1
+        ),
+        "merged_val_psnr": round(psnr, 3),
+    }
+    with open(work / "summary.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

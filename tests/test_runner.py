@@ -222,3 +222,7 @@ def test_eval_chunk_cap():
         == EVAL_POINT_BUDGET // 256
     # Degenerate: never below one ray per local chip.
     assert _eval_chunk_cap(Namespace(coarse_samples=2**26, fine_samples=0), 8) == 8
+    # Mega mixtures evaluate every submodule on every point: the cap
+    # shrinks by the submodule count (a merged 2-cell eval at the plain
+    # cap OOM'd 24.5G of 15.75G hbm on v5e).
+    assert _eval_chunk_cap(hp, 1, submodules=2) == 8192
