@@ -37,6 +37,9 @@ def main() -> None:
     ap.add_argument("--hw", type=int, default=128)
     ap.add_argument("--smoke", action="store_true",
                     help="tiny model/scene: wiring check on CPU")
+    ap.add_argument("--bake", action="store_true",
+                    help="also drive the L6 bake path on the merged model: "
+                         "create_octree + a 2-frame render_images flythrough")
     args = ap.parse_args()
     model_args = [
         "--coarse_samples", "256", "--fine_samples", "512",
@@ -148,6 +151,64 @@ def main() -> None:
         [l for l in metrics.splitlines() if "val/psnr" in l][0].split(":")[-1]
     )
 
+    bake = {}
+    if args.bake:
+        # --- 6. octree bake + flythrough frames (reference README:90-109) ---
+        import numpy as np
+
+        import scripts.create_octree as co
+        import scripts.render_images as ri
+        from mega_nerf_tpu.data.torch_io import load_pt
+
+        t0 = time.perf_counter()
+        ohp = parse_opts(get_opts_base(), [
+            "--near", "0.5", "--ray_altitude_range", "-2.0", "2.0",
+        ] + model_args + ["--container_path", str(merged)])
+        ohp.dataset_path = str(ds)
+        ohp.output = str(work / "octree.npz")
+        ohp.alpha_thresh = 0.01
+        ohp.scale_alpha_thresh = 0.01
+        ohp.tree_branch_n = 2
+        ohp.init_grid_depth = 6
+        ohp.samples_per_cell = 64
+        ohp.masking_mode = "sigma"
+        ohp.weight_thresh = 0.001
+        ohp.embedding_index = 0
+        ohp.camera_params = None
+        co.main(ohp)
+        bake["octree_seconds"] = round(time.perf_counter() - t0, 1)
+
+        t0 = time.perf_counter()
+        fly = work / "flythrough"
+        fly.mkdir(exist_ok=True)
+        meta = load_pt(ds / "train" / "metadata" / "000000.pt")
+        c2w = np.asarray(meta["c2w"]).reshape(-1)
+        fly.joinpath("poses.txt").write_text(
+            "\n".join(" ".join(str(v) for v in c2w) for _ in range(2)) + "\n"
+        )
+        fx, fy, cx, cy = np.asarray(meta["intrinsics"])
+        w, h = int(meta["W"]), int(meta["H"])
+        fly.joinpath("intrinsics.txt").write_text(
+            f"{w} {h} {fx} {fy} {cx} {cy}\n" * 2
+        )
+        fly.joinpath("embeddings.txt").write_text("0\n1\n")
+        rhp = parse_opts(get_opts_base(), [
+            "--near", "0.5", "--ray_altitude_range", "-2.0", "2.0",
+        ] + model_args + [
+            "--container_path", str(merged), "--val_scale_factor", "1",
+            "--compute_dtype", "bfloat16",
+        ])
+        rhp.input = str(fly)
+        rhp.output = str(work / "frames")
+        rhp.dataset_path = str(ds)
+        rhp.centroids_path = str(masks / "params.pt")
+        rhp.save_depth_npz = False
+        rhp.resume = False
+        ri.main(rhp)
+        n_frames = len(list((work / "frames" / "rgbs").glob("*.jpg")))
+        bake["flythrough_seconds"] = round(time.perf_counter() - t0, 1)
+        bake["flythrough_frames"] = n_frames
+
     summary = {
         "steps": args.steps,
         "num_cells": num_cells,
@@ -157,6 +218,7 @@ def main() -> None:
             args.steps * hp.batch_size * num_cells / train_wall, 1
         ),
         "merged_val_psnr": round(psnr, 3),
+        **bake,
     }
     with open(work / "summary.json", "w") as f:
         json.dump(summary, f, indent=2)
