@@ -171,10 +171,15 @@ def main() -> None:
         ohp.tree_branch_n = 2
         ohp.init_grid_depth = 6
         ohp.samples_per_cell = 64
-        ohp.masking_mode = "sigma"
+        # weight mode exercises the grid-weight visibility culling kernel
+        # (the svox CUDA `_C.grid_weight_render` replacement).
+        ohp.masking_mode = "weight"
         ohp.weight_thresh = 0.001
         ohp.embedding_index = 0
-        ohp.camera_params = None
+        meta0 = load_pt(ds / "train" / "metadata" / "000000.pt")
+        fx0, fy0, cx0, cy0 = [int(v) for v in np.asarray(meta0["intrinsics"])]
+        ohp.camera_params = [int(meta0["W"]), int(meta0["H"]),
+                             fx0, fy0, cx0, cy0]
         co.main(ohp)
         bake["octree_seconds"] = round(time.perf_counter() - t0, 1)
 
