@@ -47,16 +47,40 @@ def _get_extraction_opts() -> Namespace:
     return parse_opts(parser, known_only=True)
 
 
+def _point_chunk(hparams, bundle) -> int:
+    """Points per device dispatch for the octree probes.
+
+    The reference's `model_chunk_size` (32k, `opts.py:76`) is a GPU memory
+    knob; dispatched as-is over the TPU transport each call costs ~0.4 s of
+    round-trip latency and a 512^3 grid probe becomes 4096 dispatches
+    (~27 min of pure latency, observed). Batch up to half the eval point
+    budget per submodule instead (the dense mega blend evaluates every
+    submodule on every point; half leaves XLA-path headroom) — the same
+    probe in ~4 dispatches."""
+    from mega_nerf_tpu.runtime.runner import EVAL_POINT_BUDGET
+
+    n_sub = int(bundle.centroids.shape[0]) if bundle.is_mega else 1
+    return max(hparams.model_chunk_size, EVAL_POINT_BUDGET // (2 * n_sub))
+
+
 def _make_sigma_fn(bundle, params, chunk: int):
     apply = jax.jit(
         lambda p, xyz: bundle.apply(p, "fine", xyz, sigma_only=True)
     )
 
     def sigma_at(points: np.ndarray) -> np.ndarray:
+        # Pad to a chunk multiple: a remainder-sized final call would be a
+        # separate (expensive) XLA compile per distinct grid size.
+        n = points.shape[0]
+        n_pad = -(-n // chunk) * chunk
+        if n_pad != n:
+            points = np.concatenate(
+                [points, np.tile(points[-1:], (n_pad - n, 1))]
+            )
         out = []
-        for i in range(0, points.shape[0], chunk):
+        for i in range(0, n_pad, chunk):
             out.append(np.asarray(apply(params, jnp.asarray(points[i:i + chunk]))))
-        return np.concatenate(out)[:, 0]
+        return np.concatenate(out)[:n, 0]
 
     return sigma_at
 
@@ -130,7 +154,17 @@ def step2_average(hparams, bundle, params, tree: N3Tree) -> None:
     main_print(f"Step 2: AA with {hparams.samples_per_cell} samples per cell")
     rng = np.random.default_rng(hparams.random_seed)
     leaves = tree.leaf_indices()
-    chunk = max(1, hparams.model_chunk_size // hparams.samples_per_cell)
+    chunk = max(
+        1, _point_chunk(hparams, bundle) // hparams.samples_per_cell
+    )
+    # Pad the leaf list to a chunk multiple (same single-compile argument
+    # as sigma_at); the padded tail re-evaluates leaf 0 and is dropped.
+    n_leaves = leaves.shape[0]
+    n_pad = -(-n_leaves // chunk) * chunk
+    if n_pad != n_leaves:
+        leaves = np.concatenate(
+            [leaves, np.repeat(leaves[:1], n_pad - n_leaves, axis=0)], axis=0
+        )
 
     @jax.jit
     def eval_rgba(p, pts, dirs, idx):
@@ -159,7 +193,8 @@ def step2_average(hparams, bundle, params, tree: N3Tree) -> None:
         values = out.reshape(
             batch_leaves.shape[0], hparams.samples_per_cell, -1
         ).mean(axis=1)
-        tree.set_leaf_data(batch_leaves, values)
+        valid = min(chunk, n_leaves - i)
+        tree.set_leaf_data(batch_leaves[:valid], values[:valid])
 
 
 def main(hparams: Namespace) -> None:
