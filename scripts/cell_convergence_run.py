@@ -34,6 +34,8 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=8000)
     ap.add_argument("--workdir", type=str, default=".exp/cell_convergence")
     ap.add_argument("--cell_axis", type=int, default=1)
+    ap.add_argument("--grid", type=int, nargs=2, default=[2, 1],
+                    help="cluster grid (num_cells = grid[0]*grid[1])")
     ap.add_argument("--hw", type=int, default=128)
     ap.add_argument("--smoke", action="store_true",
                     help="tiny model/scene: wiring check on CPU")
@@ -77,7 +79,7 @@ def main() -> None:
         print("creating cluster masks...")
         ccm.main(Namespace(
             dataset_path=str(ds), segmentation_path=None, output=str(masks),
-            grid_dim=[2, 1], ray_samples=256, ray_chunk_size=48 * 1024,
+            grid_dim=list(args.grid), ray_samples=256, ray_chunk_size=48 * 1024,
             resume=False, ray_altitude_range=[-2.0, 2.0], near=0.5, far=3.5,
             center_pixels=True, cluster_2d=False, boundary_margin=1.15,
         ))
