@@ -235,6 +235,11 @@ class CellRunner(Runner):
                     state, train_iterations, dataset.state()
                 )
 
+            if train_iterations % hp.val_interval == 0 and (
+                train_iterations < hp.train_iterations
+            ):
+                self._run_cell_validation(state, train_iterations)
+
         if pbar is not None:
             pbar.close()
         if self.is_master:
@@ -244,6 +249,20 @@ class CellRunner(Runner):
         if self.writer is not None:
             self.writer.flush()
         self.final_state = jax.device_get(state)
+
+    # -------------------------------------------------------------- validation
+
+    def _run_cell_validation(self, state: TrainState, train_index: int) -> None:
+        """Per-submodule validation at --val_interval, matching what each of
+        the reference's independent jobs does (`runner.py:285-290`): every
+        cell's model renders the val images alone; metrics and panels log
+        under val/cell{i}/..."""
+        host = jax.device_get(state)
+        for cell in range(self.num_cells):
+            cell_state = jax.tree.map(lambda x: np.asarray(x)[cell], host)
+            self._run_validation(
+                cell_state, train_index, key_prefix=f"val/cell{cell}"
+            )
 
     # ------------------------------------------------------------- checkpoints
 

@@ -514,12 +514,16 @@ class Runner:
 
     # ------------------------------------------------------------- validation
 
-    def _run_validation(self, state: TrainState, train_index: int) -> Dict[str, float]:
+    def _run_validation(self, state: TrainState, train_index: int,
+                        key_prefix: str = "val") -> Dict[str, float]:
         """Render + score the val images (strided over processes). Returns
         AVERAGES over the images each metric was actually computed on —
         counts ride along the allgather so a metric some ranks cannot
         produce (e.g. LPIPS weights staged on one host) is averaged over
-        its real coverage instead of silently diluted by len(val_items)."""
+        its real coverage instead of silently diluted by len(val_items).
+
+        `key_prefix` namespaces the metric/image keys (CellRunner passes
+        val/cell{i} so per-submodule curves stay distinct)."""
         val_metrics: Dict[str, float] = {}
         val_counts: Dict[str, int] = {}
         # Keep params on device: a host copy here would re-upload the full
@@ -547,10 +551,13 @@ class Runner:
 
             val_psnr = float(psnr_metric(jnp.asarray(eval_pred), jnp.asarray(eval_gt)))
             val_ssim = float(ssim_metric(jnp.asarray(eval_pred), jnp.asarray(eval_gt), 1.0))
-            per_image = {"val/psnr": val_psnr, "val/ssim": val_ssim}
+            per_image = {
+                f"{key_prefix}/psnr": val_psnr,
+                f"{key_prefix}/ssim": val_ssim,
+            }
 
             for net, v in lpips_metric(eval_pred, eval_gt).items():
-                per_image[f"val/lpips/{net}"] = v
+                per_image[f"{key_prefix}/lpips/{net}"] = v
 
             for key, value in per_image.items():
                 if self.writer is not None:
@@ -569,7 +576,7 @@ class Runner:
 
                 Image.fromarray(panel).save(img_dir / f"{int(i)}.jpg")
             if self.writer is not None:
-                self.writer.add_image(f"val/{i}", panel, train_index)
+                self.writer.add_image(f"{key_prefix}/{i}", panel, train_index)
 
         if jax.process_count() > 1:
             # Sum the per-rank partial sums AND counts so the master's
@@ -579,9 +586,10 @@ class Runner:
             # distinguish "not computed" from "computed as zero".
             from jax.experimental import multihost_utils
 
-            keys = (
-                "val/psnr", "val/ssim",
-                "val/lpips/vgg", "val/lpips/alex", "val/lpips/squeeze",
+            keys = tuple(
+                f"{key_prefix}/{m}"
+                for m in ("psnr", "ssim", "lpips/vgg", "lpips/alex",
+                          "lpips/squeeze")
             )
             vec = np.asarray(
                 [val_metrics.get(k, 0.0) for k in keys]

@@ -172,3 +172,28 @@ def test_cell_dataset_streams_match_independent(scene):
     )
     np.testing.assert_array_equal(b1["rays"][0], ind_batch["rays"])
     np.testing.assert_array_equal(b1["rgbs"][0], ind_batch["rgbs"])
+
+
+def test_cell_parallel_mid_train_validation(scene, tmp_path):
+    """CellRunner validates every submodule at --val_interval like the
+    reference's independent jobs do (runner.py:285-290): per-cell val
+    metrics land under val/cell{i}/..."""
+    import json
+
+    root, ds = scene
+    hp = tiny_train_hparams(
+        ds, tmp_path / "valrun/sub",
+        cluster_mask_path=str(root / "masks"),
+        train_iterations=30, ckpt_interval=30, val_interval=20,
+        ray_altitude_range=[-10.0, 10.0],
+        cell_axis=2,
+    )
+    CellRunner(hp).train()
+
+    metrics_file = tmp_path / "valrun/sub0" / "0" / "tb" / "metrics.jsonl"
+    keys = set()
+    with open(metrics_file) as f:
+        for line in f:
+            keys.update(json.loads(line).keys())
+    for cell in range(2):
+        assert any(k.startswith(f"val/cell{cell}/psnr") for k in keys), keys
