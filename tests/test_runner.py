@@ -226,3 +226,20 @@ def test_eval_chunk_cap():
     # shrinks by the submodule count (a merged 2-cell eval at the plain
     # cap OOM'd 24.5G of 15.75G hbm on v5e).
     assert _eval_chunk_cap(hp, 1, submodules=2) == 8192
+
+
+def test_eval_params_cache_keyed_on_object_identity(trained):
+    """_eval_params must re-place when handed a DIFFERENT state object and
+    hit only on the SAME retained object — an id()-keyed cache could match
+    a recycled address and silently render with stale weights."""
+    import jax
+
+    _, _, _, runner = trained
+    state_a = runner.final_state
+    placed_a = runner._eval_params(state_a)
+    assert runner._eval_params(state_a) is placed_a  # identity hit
+
+    state_b = jax.tree.map(lambda x: x, state_a)  # new object, same values
+    placed_b = runner._eval_params(state_b)
+    assert placed_b is not placed_a  # distinct object -> fresh placement
+    assert runner._eval_params_cache[0] is state_b
