@@ -186,7 +186,8 @@ class CellRunner(Runner):
         )
         metrics_host: Dict[str, np.ndarray] = {}
         hooks = TrainLoopHooks(
-            hp, self.is_master, self.cell_paths[0] / "profile",
+            hp, self.is_master,
+            (self.cell_paths[0] / "profile") if self.cell_paths else None,
             rays_per_step=hp.batch_size * self.num_cells,
             start_iteration=train_iterations,
         )
@@ -256,10 +257,29 @@ class CellRunner(Runner):
         """Per-submodule validation at --val_interval, matching what each of
         the reference's independent jobs does (`runner.py:285-290`): every
         cell's model renders the val images alone; metrics and panels log
-        under val/cell{i}/..."""
-        host = jax.device_get(state)
+        under val/cell{i}/...
+
+        Single-process only for now: with the 'cell' axis spanning hosts the
+        stacked params are not host-addressable (device_get would raise) and
+        the per-image process striding inside _run_validation would need a
+        per-cell ownership split on top — the merge-eval protocol remains
+        the multi-host quality signal."""
+        if jax.process_count() > 1:
+            main_print(
+                "Skipping per-cell validation (multi-process run); "
+                "evaluate the merged container instead."
+            )
+            return
+        # Only the model weights are needed — not the stacked Adam moments.
+        fg_host, bg_host = jax.device_get((state.fg_params, state.bg_params))
         for cell in range(self.num_cells):
-            cell_state = jax.tree.map(lambda x: np.asarray(x)[cell], host)
+            take = lambda t: (
+                None if t is None
+                else jax.tree.map(lambda x: np.asarray(x)[cell], t)
+            )
+            cell_state = state.replace(
+                fg_params=take(fg_host), bg_params=take(bg_host)
+            )
             self._run_validation(
                 cell_state, train_index, key_prefix=f"val/cell{cell}"
             )

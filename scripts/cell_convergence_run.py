@@ -63,6 +63,22 @@ def main() -> None:
     work = Path(args.workdir)
     work.mkdir(parents=True, exist_ok=True)
 
+    # Refuse silently reusing a workdir built for different scene/grid
+    # flags: the dataset and masks stages are skipped when their artifacts
+    # exist, so a changed --grid/--hw/--smoke would otherwise be ignored.
+    stamp_path = work / "scene_config.json"
+    stamp = {"grid": list(args.grid), "hw": args.hw, "smoke": bool(args.smoke)}
+    if stamp_path.exists():
+        old = json.loads(stamp_path.read_text())
+        if old != stamp:
+            raise SystemExit(
+                f"workdir {work} was built with {old}, now asked for "
+                f"{stamp}: pass a fresh --workdir (artifacts are reused "
+                "as-is, the new flags would be silently ignored)"
+            )
+    else:
+        stamp_path.write_text(json.dumps(stamp))
+
     # --- 1. synthetic scene (reference dataset layout, SURVEY §2.6) ---
     from tests.synthetic import make_synthetic_dataset
 
@@ -179,8 +195,10 @@ def main() -> None:
         ohp.weight_thresh = 0.001
         ohp.embedding_index = 0
         meta0 = load_pt(ds / "train" / "metadata" / "000000.pt")
-        fx0, fy0, cx0, cy0 = [int(v) for v in np.asarray(meta0["intrinsics"])]
-        ohp.camera_params = [int(meta0["W"]), int(meta0["H"]),
+        # floats: int() truncation shifts projected rays up to a pixel and
+        # mis-culls border voxels in the weight-mode visibility pass.
+        fx0, fy0, cx0, cy0 = [float(v) for v in np.asarray(meta0["intrinsics"])]
+        ohp.camera_params = [float(meta0["W"]), float(meta0["H"]),
                              fx0, fy0, cx0, cy0]
         co.main(ohp)
         bake["octree_seconds"] = round(time.perf_counter() - t0, 1)

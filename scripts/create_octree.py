@@ -246,7 +246,7 @@ def main(hparams: Namespace) -> None:
     radius = ((max_values - min_values) * 0.5).tolist()
     main_print(f"Center and radius before autoscale: {center}, {radius}")
 
-    sigma_at = _make_sigma_fn(bundle, params, hparams.model_chunk_size)
+    sigma_at = _make_sigma_fn(bundle, params, _point_chunk(hparams, bundle))
     center, radius = auto_scale(hparams, sigma_at, center, radius)
     main_print(f"Center and radius after autoscale: {center}, {radius}")
 
