@@ -1,4 +1,4 @@
-"""Single-chip training-throughput benchmark.
+"""Single-chip training-throughput benchmark (hang-proof).
 
 Measures train rays/sec/chip on the paper-parity Mega-NeRF submodule config
 (batch 1024 rays, 256 coarse + 512 fine samples, 8x256 fg MLP + 8x256
@@ -9,22 +9,73 @@ Baseline: the reference trains 500k iterations of 1024 rays in ~1 day on
 8 GPUs (BASELINE.md) -> ~5.9k rays/s for 8 GPUs ~= 740 rays/s per GPU.
 `vs_baseline` is our per-chip rays/s over that per-GPU figure.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Always prints ONE final JSON line: {"metric", "value", "unit",
+"vs_baseline", "path"} — even when the TPU worker is wedged or a compile
+hangs. Structure (the round-2 bench timed out because the fused-Pallas
+train-step compile can hang on some libtpu builds, so every device-touching
+stage runs in its own watchdogged subprocess):
+
+  1. health probe: chained matmuls, 60 s budget. Fails -> report path
+     "tpu-unavailable" with value 0 rather than hanging the driver.
+  2. XLA-path bench (use_pallas=False): the compile that has never hung
+     here. Its number is banked before anything riskier runs.
+  3. Pallas-path bench (use_pallas="auto", the default train path): tried
+     last because killing a hung Mosaic compile can wedge the worker —
+     by then the XLA number is already in hand. Reported if faster.
+
+Child invocations (`--_child ...`) print `BENCH_RESULT {json}` on success;
+the parent never imports jax.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
 
 REFERENCE_RAYS_PER_SEC_PER_GPU = 740.0
 
+HEALTH_TIMEOUT_S = 60
+XLA_TIMEOUT_S = 180  # fresh-compile of the XLA train step measured ~100-160s
+PALLAS_TIMEOUT_S = 160  # fused-kernel compile measured ~87s fresh
+RESULT_TAG = "BENCH_RESULT "
 
-def main() -> None:
+
+# ---------------------------------------------------------------------------
+# Child: runs in its own process so the parent can kill a hung compile.
+# ---------------------------------------------------------------------------
+
+def _child_health() -> None:
+    """Chained matmuls: proves the worker compiles AND executes.
+
+    Chaining (step N consumes step N-1's output) matters on relayed
+    backends where unchained dispatch timings measure nothing.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((256, 256), jnp.float32)
+
+    @jax.jit
+    def f(x):
+        return jnp.tanh(x @ x) / 256.0
+
+    for _ in range(4):
+        x = f(x)
+    jax.block_until_ready(x)
+    assert bool(jnp.isfinite(x).all())
+    print(RESULT_TAG + json.dumps({"ok": True, "backend": jax.default_backend()}))
+
+
+def _make_bench_setup(batch_size: int, use_pallas):
+    """Build (step_fn, state, batch) for the paper-parity train config."""
     from argparse import Namespace
+
+    import jax
+    import jax.numpy as jnp
 
     from mega_nerf_tpu.models import make_bg_nerf, make_nerf
     from mega_nerf_tpu.parallel.train_step import (
@@ -40,8 +91,9 @@ def main() -> None:
         affine_appearance=False, use_cascade=False, sh_deg=None,
         shifted_softplus=True, compute_dtype="bfloat16",
     )
-    batch_size = 1024
-    settings = RenderSettings(coarse_samples=256, fine_samples=512)
+    settings = RenderSettings(
+        coarse_samples=256, fine_samples=512, use_pallas=use_pallas,
+    )
 
     fg = make_nerf(hp, appearance_count=512)
     bg = make_bg_nerf(hp, appearance_count=512)
@@ -69,30 +121,111 @@ def main() -> None:
         ),
         donate_argnums=(0,),
     )
+    return step, state, batch
 
-    # Warmup (compile + first steps).
-    for _ in range(3):
+
+def run_bench_steps(batch_size: int = 1024, n_steps: int = 30,
+                    use_pallas="auto", warmup: int = 3) -> float:
+    """Compile + run the donated train step; return measured rays/sec.
+
+    Timing is trustworthy over the relay because the donated state chains
+    every step on the previous one (see .claude/skills/verify/SKILL.md).
+    """
+    import jax
+
+    step, state, batch = _make_bench_setup(batch_size, use_pallas)
+    for _ in range(warmup):
         state, metrics = step(state, batch)
     jax.block_until_ready(metrics)
 
-    n_steps = 30
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = step(state, batch)
     jax.block_until_ready(metrics)
     dt = time.perf_counter() - t0
+    return n_steps * batch_size / dt
 
-    rays_per_sec = n_steps * batch_size / dt
-    print(
-        json.dumps(
-            {
-                "metric": "train_rays_per_sec_per_chip",
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC_PER_GPU, 3),
-            }
+
+def _child_bench(use_pallas) -> None:
+    rays_per_sec = run_bench_steps(use_pallas=use_pallas)
+    print(RESULT_TAG + json.dumps({"rays_per_sec": round(rays_per_sec, 1)}))
+
+
+# ---------------------------------------------------------------------------
+# Parent: watchdogged orchestration, no jax import.
+# ---------------------------------------------------------------------------
+
+def _run_child(mode: str, timeout_s: int):
+    """Run `python bench.py --_child <mode>` under a watchdog.
+
+    Returns (parsed result dict | None, note str). Kills the whole child
+    process group on timeout so a hung Mosaic compile can't outlive us.
+    """
+    cmd = [sys.executable, os.path.abspath(__file__), "--_child", mode]
+    t0 = time.perf_counter()
+    try:
+        proc = subprocess.run(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            timeout=timeout_s, start_new_session=True,
         )
-    )
+    except subprocess.TimeoutExpired:
+        return None, f"{mode}: timed out after {timeout_s}s"
+    out = proc.stdout.decode("utf-8", "replace")
+    dt = time.perf_counter() - t0
+    if proc.returncode != 0:
+        tail = " | ".join(out.strip().splitlines()[-3:])
+        return None, f"{mode}: rc={proc.returncode} ({tail})"
+    for line in reversed(out.splitlines()):
+        if line.startswith(RESULT_TAG):
+            return json.loads(line[len(RESULT_TAG):]), f"{mode}: ok in {dt:.0f}s"
+    return None, f"{mode}: no result line"
+
+
+def _emit(value: float, path: str) -> None:
+    print(json.dumps({
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(value / REFERENCE_RAYS_PER_SEC_PER_GPU, 3),
+        "path": path,
+    }))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--_child", choices=["health", "xla", "pallas"])
+    args = parser.parse_args()
+
+    if args._child == "health":
+        _child_health()
+        return
+    if args._child == "xla":
+        _child_bench(use_pallas=False)
+        return
+    if args._child == "pallas":
+        _child_bench(use_pallas="auto")
+        return
+
+    health, note = _run_child("health", HEALTH_TIMEOUT_S)
+    print(f"[bench] {note}", flush=True)
+    if health is None:
+        # Worker wedged or backend broken: report honestly instead of
+        # hanging until the driver's timeout.
+        _emit(0.0, "tpu-unavailable")
+        return
+
+    best, best_path = 0.0, "failed"
+    xla, note = _run_child("xla", XLA_TIMEOUT_S)
+    print(f"[bench] {note}", flush=True)
+    if xla is not None:
+        best, best_path = xla["rays_per_sec"], "xla"
+
+    pallas, note = _run_child("pallas", PALLAS_TIMEOUT_S)
+    print(f"[bench] {note}", flush=True)
+    if pallas is not None and pallas["rays_per_sec"] > best:
+        best, best_path = pallas["rays_per_sec"], "pallas-fused"
+
+    _emit(best, best_path)
 
 
 if __name__ == "__main__":
