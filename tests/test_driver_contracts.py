@@ -1,0 +1,66 @@
+"""Smoke tests for the driver contracts: `__graft_entry__.py` and `bench.py`.
+
+The driver compile-checks `entry()` single-chip, executes
+`dryrun_multichip(N)` on N virtual CPU devices, and runs `python bench.py`
+on the real chip. A contract break in any of them costs a round's worth of
+external evidence, so each is exercised here on the CPU backend (the
+conftest's 8-device virtual mesh) before the driver ever sees it.
+"""
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+import __graft_entry__  # noqa: E402
+import bench  # noqa: E402
+
+
+def test_entry_compiles_and_runs():
+    fn, example_args = __graft_entry__.entry()
+    jitted = jax.jit(fn)
+    # Compile at the driver's exact shapes (the driver's check is
+    # compile-only; CPU execution at 128 rays x 768 samples is also cheap
+    # enough to run for value-level sanity).
+    compiled = jitted.lower(*example_args).compile()
+    out = compiled(*example_args)
+    out = np.asarray(out)
+    assert out.shape == (example_args[2].shape[0], 3)
+    assert np.isfinite(out).all()
+    assert (out >= 0.0).all() and (out <= 1.0).all()  # sigmoid rgb
+
+
+def test_dryrun_multichip_runs_on_virtual_mesh():
+    # The conftest already provides 8 virtual CPU devices, matching the
+    # driver's xla_force_host_platform_device_count setup.
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_bench_step_shape_runs_tiny():
+    # One bench-shaped train step (same builder the TPU children call) at a
+    # tiny batch on the XLA path; proves bench.py's model/optimizer/step
+    # wiring stays importable and executable.
+    rays_per_sec = bench.run_bench_steps(
+        batch_size=4, n_steps=1, use_pallas=False, warmup=1
+    )
+    assert rays_per_sec > 0.0
+
+
+def test_bench_parent_emits_json_line(capsys):
+    # The driver contract: the LAST stdout line is one JSON object with
+    # these exact keys, no matter what happened before it.
+    bench._emit(1234.5, "xla")
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    import json
+
+    parsed = json.loads(line)
+    assert parsed["metric"] == "train_rays_per_sec_per_chip"
+    assert parsed["unit"] == "rays/s"
+    assert parsed["value"] == 1234.5
+    assert parsed["vs_baseline"] == round(1234.5 / 740.0, 3)
