@@ -107,12 +107,13 @@ def lpips(rgbs: np.ndarray, target_rgbs: np.ndarray) -> Dict[str, float]:
     for net in jlpips.available_nets():
         # A corrupt/stale-contract weight file degrades to fewer metrics
         # (warn once) rather than killing a multi-hour run at its first
-        # validation — matching the old torch-path behavior.
+        # validation. Only load/format errors are swallowed — a failure in
+        # the metric call itself (a genuine bug, an OOM) must propagate,
+        # not vanish as a bogus "weights unusable" warning.
         try:
             if net not in _LPIPS_CACHE:
                 _LPIPS_CACHE[net] = jlpips.LPIPS.from_npz(net)
-            out[net] = float(_LPIPS_CACHE[net](rgbs, target_rgbs))
-        except Exception as e:  # noqa: BLE001 — metric is best-effort
+        except (OSError, ValueError, KeyError) as e:
             key = f"warned_{net}"
             if key not in _LPIPS_CACHE:
                 _LPIPS_CACHE[key] = True
@@ -122,6 +123,8 @@ def lpips(rgbs: np.ndarray, target_rgbs: np.ndarray) -> Dict[str, float]:
                     f"lpips-{net} weights unusable ({type(e).__name__}: {e});"
                     " skipping this net"
                 )
+            continue
+        out[net] = float(_LPIPS_CACHE[net](rgbs, target_rgbs))
 
     remaining = [n for n in ("vgg", "alex", "squeeze") if n not in out]
     if remaining:

@@ -18,9 +18,10 @@ VMEM-resident program:
   results are bit-identical to the unpadded math.
 
 Scope: plain NeRF forward (rgb_dim == 3, optional dirs/appearance) — the
-eval/render hot path. Training still uses the XLA path (a custom-VJP
-backward kernel is future work); `interpret=True` keeps the kernel testable
-on CPU.
+eval/render hot path. Training uses the differentiable fused kernels in
+`pallas_train.py` (custom VJP whose backward remats activations in VMEM),
+which share this file's packing/padding helpers; `interpret=True` keeps the
+kernels testable on CPU.
 """
 
 from __future__ import annotations

@@ -240,6 +240,7 @@ class CellRunner(Runner):
                 train_iterations < hp.train_iterations
             ):
                 self._run_cell_validation(state, train_iterations)
+                hooks.restart_window(train_iterations)
 
         if pbar is not None:
             pbar.close()

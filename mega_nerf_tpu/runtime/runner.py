@@ -71,6 +71,11 @@ def _eval_chunk_cap(
     activation footprint — a merged 2-cell eval at the plain cap OOM'd
     24.5G of 15.75G hbm on v5e."""
     s_max = max(hparams.coarse_samples, hparams.fine_samples, 1)
+    if getattr(hparams, "use_cascade", False) and hparams.fine_samples > 0:
+        # Cascade's fine pass evaluates sort(concat(coarse, fine)) z-vals
+        # through the fine MLP (rendering.py:459-462), so the largest
+        # single MLP pass sees coarse+fine points per ray.
+        s_max = hparams.coarse_samples + hparams.fine_samples
     return max(n_local, EVAL_POINT_BUDGET // (s_max * max(submodules, 1)))
 
 
@@ -120,6 +125,13 @@ class TrainLoopHooks:
             ok = np.isfinite(arr) | ((k == "psnr") & np.isinf(arr))
             if not ok.all():
                 raise Exception(f"Train metrics not finite in {k}: {v}")
+
+    def restart_window(self, iteration: int) -> None:
+        """Exclude a pause (validation, checkpointing IO) from the next
+        throughput sample: without this, the first train/rays_per_sec after
+        every --val_interval pass is deflated by the validation wall."""
+        self.t0 = time.perf_counter()
+        self.step0 = iteration
 
     def throughput(self, iteration: int) -> Optional[float]:
         """rays/s since the previous metrics checkpoint (None on the first)."""
@@ -391,6 +403,7 @@ class Runner:
 
                 if train_iterations > 0 and train_iterations % hp.val_interval == 0:
                     self._run_validation(state, train_iterations)
+                    hooks.restart_window(train_iterations)
 
                 if train_iterations >= hp.train_iterations:
                     break
