@@ -8,7 +8,11 @@ renderer and Pallas kernels can lay them out freely).
 
 from mega_nerf_tpu.models.nerf import NeRF, NeRFConfig, frequency_encode
 from mega_nerf_tpu.models.cascade import Cascade
-from mega_nerf_tpu.models.mega import cluster_weights, mega_apply
+from mega_nerf_tpu.models.mega import (
+    cluster_weights,
+    mega_apply,
+    mega_apply_routed,
+)
 from mega_nerf_tpu.models.factory import (
     ModelBundle,
     make_nerf,
@@ -23,6 +27,7 @@ __all__ = [
     "Cascade",
     "cluster_weights",
     "mega_apply",
+    "mega_apply_routed",
     "ModelBundle",
     "make_nerf",
     "make_bg_nerf",

@@ -239,6 +239,8 @@ def container_to_bundles(
             boundary_margin=boundary_margin,
             cluster_dim_start=cluster_dim_start,
             xyz_real=xyz_real,
+            routing=getattr(hparams, "mega_routing", "auto"),
+            routing_max_experts=getattr(hparams, "routing_max_experts", 4),
         )
         bundle.pretrained_params = jax.tree.map(lambda x: np.asarray(x), stacked)
         return bundle

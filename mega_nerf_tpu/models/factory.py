@@ -22,7 +22,11 @@ import jax
 import jax.numpy as jnp
 
 from mega_nerf_tpu.models.cascade import Cascade
-from mega_nerf_tpu.models.mega import cluster_weights, mega_apply
+from mega_nerf_tpu.models.mega import (
+    cluster_weights,
+    mega_apply,
+    mega_apply_routed,
+)
 from mega_nerf_tpu.models.nerf import NeRF, NeRFConfig
 
 
@@ -66,10 +70,38 @@ class ModelBundle:
     cluster_dim_start: int = 0
     xyz_real: bool = False  # input = [routing_xyz(3) | model_input(xyz_dim)]
     pretrained_params: Optional[Any] = None  # set by container loading
+    # Mixture evaluation strategy: "dense" = every submodule on every point
+    # (mega_apply), "routed" = sorted-gather block routing
+    # (mega_apply_routed), "auto" = routed above 8 submodules — the
+    # crossover where the dense blend's K× FLOPs dominate the router's
+    # sort/scatter overhead (the reference ships 8- and 25-submodule
+    # models, `README.md:39-51`).
+    routing: str = "auto"
+    routing_max_experts: int = 4
 
     @property
     def is_mega(self) -> bool:
         return self.centroids is not None
+
+    @property
+    def use_routed(self) -> bool:
+        if not self.is_mega:
+            return False
+        if self.routing == "auto":
+            return int(self.centroids.shape[0]) > 8
+        return self.routing == "routed"
+
+    @property
+    def eval_submodule_cost(self) -> int:
+        """Per-point MLP evaluation multiplier at query time — sizes the
+        eval chunk cap (runtime.runner._eval_chunk_cap)."""
+        if not self.is_mega:
+            return 1
+        k = int(self.centroids.shape[0])
+        if self.use_routed:
+            m = 1 if self.boundary_margin == 1 else self.routing_max_experts
+            return min(m, k)
+        return k
 
     def init(self, key: jax.Array):
         cfg = self.config
@@ -120,6 +152,21 @@ class ModelBundle:
         weights = cluster_weights(
             routing_pts, self.centroids, self.boundary_margin, self.cluster_dim_start
         )
+        if self.use_routed:
+            return mega_apply_routed(
+                lambda p, *a: self._single_apply(p, typ, *a),
+                params,
+                weights,
+                model_in,
+                dirs,
+                image_indices,
+                sigma_noise,
+                sigma_only,
+                max_experts=(
+                    1 if self.boundary_margin == 1
+                    else self.routing_max_experts
+                ),
+            )
         return mega_apply(
             lambda p, *a: self._single_apply(p, typ, *a),
             params,
@@ -156,6 +203,8 @@ def _make_bundle(
             boundary_margin=1.0,
             cluster_dim_start=1 if cluster_2d else 0,
             xyz_real=(xyz_dim == 4),
+            routing=getattr(hparams, "mega_routing", "auto"),
+            routing_max_experts=getattr(hparams, "routing_max_experts", 4),
         )
 
     if use_cascade:

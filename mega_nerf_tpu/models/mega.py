@@ -10,8 +10,14 @@ margin. With a hard assignment (margin == 1) the blend is a one-hot select.
 Dense evaluation costs K× FLOPs at query time; for the merged-model render
 path this is acceptable for K ≤ 8 and fully MXU-friendly. The training path
 never pays it — independent cells train under `shard_map` with their own
-parameters (see `mega_nerf_tpu.parallel`). A capacity-based sorted-gather
-router is the planned optimization for large K.
+parameters (see `mega_nerf_tpu.parallel`).
+
+For large K (the reference's 25-submodule models, `README.md:46`),
+`mega_apply_routed` replaces the dense blend: points are bucketed by their
+nonzero-weight submodules, sorted so each bucket occupies contiguous
+block-aligned slots, and evaluated block-by-block with only the owning
+submodule's parameters — ~M×N point evaluations (M = experts/point, 1 for
+hard assignment) instead of K×N, with identical results.
 """
 
 from __future__ import annotations
@@ -20,6 +26,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 def cluster_weights(
@@ -75,3 +82,138 @@ def mega_apply(
         lambda p: apply_fn(p, xyz, dirs, image_indices, sigma_noise, sigma_only)
     )(stacked_params)  # (K, N, C)
     return jnp.einsum("nk,knc->nc", weights.astype(outs.dtype), outs)
+
+
+def mega_apply_routed(
+    apply_fn: Callable[..., jnp.ndarray],
+    stacked_params,
+    weights: jnp.ndarray,
+    xyz: jnp.ndarray,
+    dirs: Optional[jnp.ndarray] = None,
+    image_indices: Optional[jnp.ndarray] = None,
+    sigma_noise: Optional[jnp.ndarray] = None,
+    sigma_only: bool = False,
+    *,
+    max_experts: int = 4,
+    block: int = 1024,
+    blocks_per_step: int = 8,
+) -> jnp.ndarray:
+    """Sorted-gather routing: evaluate each point ONLY under the submodules
+    it has nonzero routing weight for.
+
+    Same contract as `mega_apply`, exact whenever every point has at most
+    `max_experts` nonzero weights — always for hard assignment (margin == 1
+    -> one nonzero) and for boundary blends that touch ≤M cells (a 2D grid
+    corner touches 4). Points with MORE than M nonzero weights (e.g. high
+    above a 2D centroid grid, where 3D distances to many cells fall within
+    the margin) blend over their M nearest submodules with the weights
+    renormalized to sum to 1 — a graceful truncation of the reference's
+    full within-margin blend (`mega_nerf.py:21-27`), never a dropped
+    contribution.
+
+    TPU-native static-shape plan (the reference boolean-indexes per
+    submodule, `mega_nerf.py:35-49` — dynamic shapes):
+
+      1. top_k picks each point's ≤M candidate submodules; zero-weight
+         entries route to a dead bucket K.
+      2. One stable argsort groups the E = N·M (point, submodule) entries by
+         bucket; per-bucket segments are padded to `block` multiples so
+         every block belongs to exactly one bucket (total length is the
+         static worst case E + (K+1)·block).
+      3. `lax.map` walks the blocks `blocks_per_step` at a time: gather the
+         block's points, gather its ONE submodule's parameters (a (bps,)
+         leading-axis gather of the stacked pytree), run the ordinary
+         apply_fn under vmap. All-dead steps (the sorted tail) skip the MLP
+         through `lax.cond` at run time.
+      4. A weighted scatter-add puts block outputs back into point order.
+
+    Cost: ≈ (E + padding) point evaluations — for K=25 hard-assigned this is
+    1/25th of the dense blend's FLOPs — plus an O(E log E) integer sort and
+    two gathers, negligible next to the MLP.
+    """
+    n, k = weights.shape
+    m = min(max_experts, k)
+    topw, topk = lax.top_k(weights, m)  # (N, M)
+    # Renormalize so truncated points still blend to weight 1 (no-op when
+    # all nonzero weights were captured: they already summed to 1).
+    topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    valid = topw > 0
+    bucket = jnp.where(valid, topk, k).reshape(-1)  # (E,) dead -> K
+    point = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, m))
+    e = n * m
+
+    order = jnp.argsort(bucket, stable=True)
+    sb = bucket[order]
+    sp = point.reshape(-1)[order]
+    sw = topw.reshape(-1)[order]
+
+    counts = jnp.zeros((k + 1,), jnp.int32).at[bucket].add(1)
+    padded = ((counts + block - 1) // block) * block
+    pstart = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1]]
+    )
+    start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
+    )
+    dest = pstart[sb] + (jnp.arange(e, dtype=jnp.int32) - start[sb])
+
+    # Static worst-case padded length, rounded to whole lax.map steps.
+    step = block * blocks_per_step
+    length = e + (k + 1) * block
+    length = ((length + step - 1) // step) * step
+    nsteps = length // step
+
+    slot_point = jnp.full((length,), n, jnp.int32).at[dest].set(sp)
+    slot_weight = jnp.zeros((length,), sw.dtype).at[dest].set(sw)
+    slot_bucket = jnp.full((length,), k, jnp.int32).at[dest].set(sb)
+    # Segments are block-aligned, so each block holds one bucket (padding
+    # slots carry the dead id K; min recovers the real owner).
+    blk_bucket = slot_bucket.reshape(length // block, block).min(axis=1)
+
+    def pad_gather(x, fill):
+        if x is None:
+            return None
+        pad_row = jnp.full((1,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, pad_row])[slot_point].reshape(
+            (nsteps, blocks_per_step, block) + x.shape[1:]
+        )
+
+    xs = {
+        "b": blk_bucket.reshape(nsteps, blocks_per_step),
+        "x": pad_gather(xyz, 0),
+        "d": pad_gather(dirs, 0),
+        "i": pad_gather(image_indices, 0),
+        "s": pad_gather(sigma_noise, 0),
+    }
+
+    def eval_step(bids, xb, db, ib, snb):
+        pb = jax.tree.map(
+            lambda q: q[jnp.minimum(bids, k - 1)], stacked_params
+        )
+        return jax.vmap(
+            lambda p, x, d_, i_, s_: apply_fn(p, x, d_, i_, s_, sigma_only)
+        )(pb, xb, db, ib, snb)
+
+    out_sd = jax.eval_shape(
+        eval_step, xs["b"][0], xs["x"][0],
+        None if dirs is None else xs["d"][0],
+        None if image_indices is None else xs["i"][0],
+        None if sigma_noise is None else xs["s"][0],
+    )
+
+    def body(step_xs):
+        return lax.cond(
+            jnp.all(step_xs["b"] == k),
+            lambda: jnp.zeros(out_sd.shape, out_sd.dtype),
+            lambda: eval_step(
+                step_xs["b"], step_xs["x"],
+                None if dirs is None else step_xs["d"],
+                None if image_indices is None else step_xs["i"],
+                None if sigma_noise is None else step_xs["s"],
+            ),
+        )
+
+    outs = lax.map(body, xs).reshape(length, -1)  # (L, C)
+    weighted = outs * slot_weight[:, None].astype(outs.dtype)
+    acc = jnp.zeros((n + 1, outs.shape[-1]), outs.dtype)
+    return acc.at[slot_point].add(weighted)[:n]

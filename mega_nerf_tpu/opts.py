@@ -123,6 +123,24 @@ def get_opts_base() -> argparse.ArgumentParser:
                         help='disable the fused Pallas MLP eval kernel '
                              '(default "auto": on for TPU render/eval '
                              'paths, 1.43x over the XLA lowering on v5e)')
+    parser.add_argument('--eval_compositor', type=str, default='auto',
+                        choices=['auto', 'merge', 'union'],
+                        help='coarse+fine compositor for eval renders: '
+                             'sort-free merge (4.5x cheaper) vs masked '
+                             'union; auto probes the serving compiler '
+                             'once (render/compositor_probe.py) because '
+                             'one libtpu build faults on the composed '
+                             'merge+Pallas eval graph')
+    parser.add_argument('--mega_routing', type=str, default='auto',
+                        choices=['auto', 'dense', 'routed'],
+                        help='merged-mixture evaluation strategy: dense '
+                             'blend (KxN point evals) vs sorted-gather '
+                             'block routing (~N evals); auto routes above '
+                             '8 submodules')
+    parser.add_argument('--routing_max_experts', type=int, default=4,
+                        help='max nonzero-weight submodules per point the '
+                             'routed path covers (boundary_margin blends; '
+                             '4 covers a 2D grid corner)')
     parser.add_argument('--data_axis', type=int, default=None,
                         help='data-parallel mesh size (default: all devices)')
     parser.add_argument('--cell_axis', type=int, default=1,

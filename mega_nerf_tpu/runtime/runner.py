@@ -712,9 +712,9 @@ class Runner:
         n = rays.shape[0]
         # Chunks divide evenly over the local chips (rays shard over 'ldata').
         n_local = jax.local_device_count()
-        submodules = (
-            int(self.fg.centroids.shape[0]) if self.fg.is_mega else 1
-        )
+        # Routed mixtures evaluate ~max_experts submodules per point, not
+        # all K (models/mega.mega_apply_routed) — the chunk cap follows.
+        submodules = self.fg.eval_submodule_cost
         chunk = min(
             hp.image_pixel_batch_size, n,
             _eval_chunk_cap(hp, n_local, submodules),
