@@ -202,7 +202,24 @@ class CellRunner(Runner):
             hooks.maybe_profile(train_iterations, metrics)
 
             if hooks.metrics_due(train_iterations):
-                # metrics are (num_cells,) per key.
+                # metrics are (num_cells,) per key — cell-sharded, so with
+                # the 'cell' axis spanning hosts they are not addressable
+                # until replicated (a tiny allgather; every process is
+                # here, metrics_due is deterministic).
+                if jax.process_count() > 1:
+                    rep = getattr(self, "_replicate_metrics_fn", None)
+                    if rep is None:
+                        from jax.sharding import (
+                            NamedSharding,
+                            PartitionSpec as P,
+                        )
+
+                        rep = jax.jit(
+                            lambda m: m,
+                            out_shardings=NamedSharding(self.mesh, P()),
+                        )
+                        self._replicate_metrics_fn = rep
+                    metrics = rep(metrics)
                 metrics_host = {k: np.asarray(v) for k, v in metrics.items()}
                 hooks.check_finite(metrics_host)
                 rays_per_sec = hooks.throughput(train_iterations)
@@ -228,10 +245,7 @@ class CellRunner(Runner):
                         psnr=f"{np.mean(metrics_host.get('psnr', 0)):.2f}"
                     )
 
-            if (
-                train_iterations % hp.ckpt_interval == 0
-                and self.is_master
-            ):
+            if train_iterations % hp.ckpt_interval == 0:
                 self._save_cell_checkpoints(
                     state, train_iterations, dataset.state()
                 )
@@ -244,15 +258,38 @@ class CellRunner(Runner):
 
         if pbar is not None:
             pbar.close()
-        if self.is_master:
-            self._save_cell_checkpoints(
-                state, train_iterations, dataset.state()
-            )
+        self._save_cell_checkpoints(
+            state, train_iterations, dataset.state()
+        )
         if self.writer is not None:
             self.writer.flush()
-        self.final_state = jax.device_get(state)
+        # The stacked state is host-addressable only single-process; the
+        # per-cell checkpoints just written are the multi-process handoff.
+        self.final_state = (
+            jax.device_get(state) if jax.process_count() == 1 else None
+        )
 
     # -------------------------------------------------------------- validation
+
+    def _gather_cell_state(self, state: TrainState, cell: int) -> TrainState:
+        """One cell's slice of the cell-sharded stacked TrainState, as host
+        arrays on EVERY process.
+
+        With the 'cell' mesh axis spanning hosts the stacked state is not
+        host-addressable (device_get raises), so a jitted dynamic slice
+        with fully-replicated out_shardings all-gathers just that cell's
+        leaves (~MBs) to every host — the collective therefore runs on all
+        processes, callers must too (same order, same cells)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        take = getattr(self, "_take_cell_fn", None)
+        if take is None:
+            take = jax.jit(
+                lambda s, c: jax.tree.map(lambda x: x[c], s),
+                out_shardings=NamedSharding(self.mesh, P()),
+            )
+            self._take_cell_fn = take
+        return jax.device_get(take(state, np.int32(cell)))
 
     def _run_cell_validation(self, state: TrainState, train_index: int) -> None:
         """Per-submodule validation at --val_interval, matching what each of
@@ -260,16 +297,19 @@ class CellRunner(Runner):
         cell's model renders the val images alone; metrics and panels log
         under val/cell{i}/...
 
-        Single-process only for now: with the 'cell' axis spanning hosts the
-        stacked params are not host-addressable (device_get would raise) and
-        the per-image process striding inside _run_validation would need a
-        per-cell ownership split on top — the merge-eval protocol remains
-        the multi-host quality signal."""
+        Multi-process: each cell's params are all-gathered to every host
+        (`_gather_cell_params`) and the normal distributed validation
+        protocol — images strided over processes, count-aware allgather
+        averaging — runs per cell, every process participating."""
         if jax.process_count() > 1:
-            main_print(
-                "Skipping per-cell validation (multi-process run); "
-                "evaluate the merged container instead."
-            )
+            for cell in range(self.num_cells):
+                gathered = self._gather_cell_state(state, cell)
+                cell_state = state.replace(
+                    fg_params=gathered.fg_params, bg_params=gathered.bg_params
+                )
+                self._run_validation(
+                    cell_state, train_index, key_prefix=f"val/cell{cell}"
+                )
             return
         # Only the model weights are needed — not the stacked Adam moments.
         fg_host, bg_host = jax.device_get((state.fg_params, state.bg_params))
@@ -293,10 +333,20 @@ class CellRunner(Runner):
         train_index: int,
         stream_states: List[Dict[str, int]],
     ) -> None:
-        """K per-cell checkpoints in Runner's format at the merge layout."""
-        host = jax.device_get(state)
+        """K per-cell checkpoints in Runner's format at the merge layout.
+
+        Call from ALL processes: multi-process gathers each cell's slice
+        through a collective (`_gather_cell_state`); only the master
+        writes files."""
+        multi = jax.process_count() > 1
+        host = None if multi else jax.device_get(state)
         for cell in range(self.num_cells):
-            cell_state = jax.tree.map(lambda x: np.asarray(x)[cell], host)
+            if multi:
+                cell_state = self._gather_cell_state(state, cell)
+            else:
+                cell_state = jax.tree.map(lambda x: np.asarray(x)[cell], host)
+            if not self.is_master:
+                continue
             aux = {
                 "iteration": train_index,
                 "dataset_state": stream_states[cell],

@@ -34,6 +34,12 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=8000)
     ap.add_argument("--workdir", type=str, default=".exp/cell_convergence")
     ap.add_argument("--cell_axis", type=int, default=1)
+    ap.add_argument("--ckpt_interval", type=int, default=0,
+                    help="checkpoint every N steps (0: only at the end); "
+                         "long on-chip runs should set this — the worker "
+                         "can wedge spontaneously mid-run")
+    ap.add_argument("--val_interval", type=int, default=0,
+                    help="per-cell validation every N steps (0: never)")
     ap.add_argument("--grid", type=int, nargs=2, default=[2, 1],
                     help="cluster grid (num_cells = grid[0]*grid[1])")
     ap.add_argument("--hw", type=int, default=128)
@@ -118,8 +124,8 @@ def main() -> None:
         "--batch_size", "1024",
         "--lr", "5e-4", "--lr_decay_factor", "0.1",
         "--train_iterations", str(args.steps),
-        "--ckpt_interval", str(args.steps),
-        "--val_interval", str(10 * args.steps),
+        "--ckpt_interval", str(args.ckpt_interval or args.steps),
+        "--val_interval", str(args.val_interval or 10 * args.steps),
         "--val_scale_factor", "1",
         "--compute_dtype", "bfloat16",
     ])

@@ -166,6 +166,93 @@ for shard in pb["rays"].addressable_shards:
 assert float(jax.jit(jnp.sum)(pb["rays"])) == float(cbatch["rays"].sum())
 result["cell_mesh_ok"] = True
 
+# --- 5. multi-process CellRunner: the 'cell' axis spans processes ---
+# mesh cell=2 x data=4 over 2 processes of 4 devices: process 0 owns cell
+# 0's parameters, process 1 owns cell 1's. Drives the cell-sharded train
+# step, the collective per-cell checkpoint gather, and the multi-process
+# per-cell validation protocol.
+from argparse import Namespace as _NS
+
+import scripts.create_cluster_masks as _ccm
+from mega_nerf_tpu.parallel.train_step import make_optimizer, make_train_state
+from mega_nerf_tpu.runtime import checkpoints as ckpt_io
+from mega_nerf_tpu.runtime.cell_runner import CellRunner
+
+# create_cluster_masks is itself multi-process (images stride
+# process_index::process_count, internal sync on the shared dirs) — both
+# processes run it against the SHARED output dir.
+masks = workdir / "masks"
+_ccm.main(_NS(
+    dataset_path=str(ds), segmentation_path=None, output=str(masks),
+    grid_dim=[2, 1], ray_samples=64, ray_chunk_size=48 * 1024,
+    resume=False, ray_altitude_range=[-10.0, 10.0], near=0.5, far=3.5,
+    center_pixels=True, cluster_2d=False, boundary_margin=1.15,
+))
+multihost_utils.sync_global_devices("masks_ready")
+
+CELL_ITERS = 12
+cell_hp = tiny_train_hparams(
+    ds, workdir / "cellexp" / "sub",
+    cluster_mask_path=str(masks),
+    train_iterations=CELL_ITERS, ckpt_interval=CELL_ITERS,
+    val_interval=6,  # mid-train: exercises multi-process per-cell validation
+    ray_altitude_range=[-10.0, 10.0],
+    cell_axis=2, batch_size=64,
+)
+
+val_calls = []
+_orig_val = CellRunner._run_validation
+
+
+def _recording_val(self, state, train_index, key_prefix="val"):
+    metrics = _orig_val(self, state, train_index, key_prefix=key_prefix)
+    val_calls.append(
+        {"prefix": key_prefix, "psnr": metrics.get(f"{key_prefix}/psnr")}
+    )
+    return metrics
+
+
+CellRunner._run_validation = _recording_val
+cell_runner = CellRunner(cell_hp)
+cell_runner.train()
+CellRunner._run_validation = _orig_val
+
+assert cell_runner.final_state is None  # not host-addressable multi-process
+result["cell_val_calls"] = val_calls
+
+# Both processes see the master-written per-cell checkpoints (shared fs).
+multihost_utils.sync_global_devices("cell_ckpts_ready")
+opt = make_optimizer(
+    cell_hp.lr, cell_hp.lr_decay_factor, cell_hp.train_iterations
+)
+template = make_train_state(
+    cell_runner.fg, cell_runner.bg, opt, jax.random.key(0)
+)
+cell_states = []
+for cell in range(2):
+    path = (
+        workdir / "cellexp" / f"sub{cell}" / "0" / "models"
+        / f"{CELL_ITERS}.ckpt"
+    )
+    assert path.exists(), path
+    cell_state, aux = ckpt_io.load_checkpoint(path, template)
+    assert aux["cell_index"] == cell and aux["num_cells"] == 2, aux
+    cell_states.append(cell_state)
+
+
+def _params_hash(tree):
+    return hashlib.sha256(
+        b"".join(
+            np.ascontiguousarray(np.asarray(x)).tobytes()
+            for x in jax.tree.leaves(tree)
+        )
+    ).hexdigest()
+
+
+result["cell_param_hashes"] = [
+    _params_hash(s.fg_params) for s in cell_states
+]
+
 with open(workdir / f"result_{process_id}.json", "w") as f:
     json.dump(result, f)
 print(f"worker {process_id}: OK", flush=True)

@@ -58,3 +58,20 @@ def test_two_process_training_and_data(tmp_path):
     # with 4 chunks over 2 processes the per-epoch counts are stamp-aligned.
     assert results[0]["chunk_stream_batches_per_epoch"] == \
         results[1]["chunk_stream_batches_per_epoch"]
+
+    # --- multi-process CellRunner (cell axis spanning the 2 processes) ---
+    for r in results:
+        # Per-cell validation ran mid-train on every process, and the
+        # count-aware allgather averaging gave all processes the same
+        # per-cell PSNR.
+        prefixes = [c["prefix"] for c in r["cell_val_calls"]]
+        assert prefixes == ["val/cell0", "val/cell1"], prefixes
+        assert all(c["psnr"] is not None for c in r["cell_val_calls"])
+    assert results[0]["cell_val_calls"] == results[1]["cell_val_calls"]
+    # The collective checkpoint gather produced identical per-cell params
+    # on both hosts, and the two cells genuinely diverged.
+    assert results[0]["cell_param_hashes"] == results[1]["cell_param_hashes"]
+    assert (
+        results[0]["cell_param_hashes"][0]
+        != results[0]["cell_param_hashes"][1]
+    )
