@@ -1,0 +1,223 @@
+"""Runtime probe: may EVAL use the merge compositor on the serving compiler?
+
+The sort-free coarse+fine merge (`ops.compositing.composite_weights_merge`)
+is ~4.5x cheaper than the union fallback, but one deployed libtpu build
+(Nov 12 2025, cl/831091709 — the build serving this terminal) crashes the
+TPU worker outright when the merge's (N, Sa, Sb) middle-axis masked reduces
+are composed with the Pallas eval kernels at image-chunk batch sizes. The
+fault is context-dependent: the identical reduces pass standalone at the
+same shapes, so only compiling the real COMPOSED eval graph can tell
+whether the serving compiler is affected.
+
+Policy implemented here (consulted once per process at first eval trace on
+a TPU backend, `rendering._inference`):
+
+1. `MEGA_NERF_TPU_EVAL_COMPOSITOR=merge|union` overrides everything.
+2. Non-TPU backends always get the merge (the fault is an XLA:TPU lowering
+   bug; CPU/GPU lowerings are clean and the two compositors are
+   numerically identical — `tests/test_ops_compositing.py`).
+3. Known-bad compiler builds (`KNOWN_BAD_BUILDS`) get the union without
+   probing — probing them would crash the worker we are about to render
+   on, and a wedged worker can take an hour to heal.
+4. Anything else is probed ONCE: a guarded subprocess AOT-compiles the
+   composed eval graph (Pallas eval kernels + forced merge compositor at
+   a 16384-ray eval chunk, paper-scale 8x256 NeRF) with a wall-clock
+   budget. Exit 0 + sentinel => merge; crash/timeout => union. The verdict
+   is cached on disk keyed by the backend's `platform_version`, so each
+   serving compiler is probed exactly once per machine.
+
+The reference never needs this machinery: its CUDA path sorts and gathers
+(`/root/reference/mega_nerf/rendering.py:336-350`); the compositor split is
+a TPU-native concern introduced by the sort-free redesign.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+from typing import Callable, Optional
+
+ENV_OVERRIDE = "MEGA_NERF_TPU_EVAL_COMPOSITOR"
+
+# Serving compilers with the composed merge+Pallas lowering fault, matched
+# as substrings of `backend.platform_version`. Bisected on hardware (v5e,
+# axon relay): eval image chunks crash the worker; train shapes are fine.
+KNOWN_BAD_BUILDS = ("cl/831091709",)
+
+# The full train step compiles in ~86 s on the same relay; the eval graph
+# is smaller but remote compile service queueing varies.
+PROBE_TIMEOUT_S = 420.0
+
+_PROBE_SENTINEL = "COMPOSITOR_PROBE_OK"
+
+# process-lifetime memo: {version_key: bool}
+_MEMO: dict = {}
+
+
+def _default_cache_path() -> Path:
+    root = Path(os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache"))
+    return root / "mega_nerf_tpu" / "compositor_probe.json"
+
+
+def _platform_version() -> str:
+    import jax.extend as jex
+
+    backend = jex.backend.get_backend()
+    return f"{backend.platform} {backend.platform_version}"
+
+
+def _is_tpu_backend() -> bool:
+    import jax
+
+    return jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+
+
+def _read_cache(path: Path) -> dict:
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        return data if isinstance(data, dict) else {}
+    except (OSError, ValueError):
+        return {}
+
+
+def _write_cache(path: Path, data: dict) -> None:
+    try:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(".tmp")
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=2)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # cache is an optimization; never fail the render for it
+
+
+def _run_probe_subprocess(timeout: float) -> bool:
+    """AOT-compile the composed eval graph in a throwaway process.
+
+    Compile-only (`jit(...).lower(...).compile()` on ShapeDtypeStructs):
+    no device arrays are created and nothing executes, so the probe does
+    not race in-flight work on the chip — a crash is contained to the
+    subprocess + the compile service."""
+    repo_root = str(Path(__file__).resolve().parents[2])
+    env = dict(os.environ)
+    # Prepend, never clobber: the environment may need its own sitecustomize
+    # path (e.g. the axon relay's /root/.axon_site) to register the backend.
+    prev = env.get("PYTHONPATH")
+    env["PYTHONPATH"] = repo_root + (os.pathsep + prev if prev else "")
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "mega_nerf_tpu.render.compositor_probe"],
+            env=env,
+            timeout=timeout,
+            capture_output=True,
+            text=True,
+        )
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+    return proc.returncode == 0 and _PROBE_SENTINEL in proc.stdout
+
+
+def merge_eval_ok(
+    *,
+    probe: Optional[Callable[[], bool]] = None,
+    cache_path: Optional[Path] = None,
+    version: Optional[str] = None,
+) -> bool:
+    """True if the eval render path may compile the merge compositor.
+
+    `probe`, `cache_path`, `version` are injection points for tests; the
+    defaults probe the real backend with the subprocess runner."""
+    forced = os.environ.get(ENV_OVERRIDE, "").strip().lower()
+    if forced in ("merge", "union"):
+        return forced == "merge"
+
+    if not _is_tpu_backend():
+        return True
+
+    key = version if version is not None else _platform_version()
+    if key in _MEMO:
+        return _MEMO[key]
+
+    if any(bad in key for bad in KNOWN_BAD_BUILDS):
+        _MEMO[key] = False
+        return False
+
+    path = cache_path if cache_path is not None else _default_cache_path()
+    cache = _read_cache(path)
+    if key in cache:
+        _MEMO[key] = bool(cache[key])
+        return _MEMO[key]
+
+    print(
+        "mega_nerf_tpu: probing whether the serving compiler can lower the "
+        "merge compositor composed with the eval kernels (once per "
+        f"compiler build; <= {PROBE_TIMEOUT_S:.0f}s) ..."
+    )
+    runner = probe if probe is not None else (
+        lambda: _run_probe_subprocess(PROBE_TIMEOUT_S)
+    )
+    verdict = bool(runner())
+    print(
+        "mega_nerf_tpu: eval compositor = "
+        + ("merge (probe passed)" if verdict else "union (probe failed)")
+    )
+    cache = _read_cache(path)  # re-read: another process may have written
+    cache[key] = verdict
+    _write_cache(path, cache)
+    _MEMO[key] = verdict
+    return verdict
+
+
+def _probe_main() -> None:
+    """Entry point for the probe subprocess: compile the composed graph."""
+    from argparse import Namespace
+
+    import jax
+
+    from mega_nerf_tpu.models.factory import make_nerf
+    from mega_nerf_tpu.render.rendering import RenderSettings, render_rays
+
+    hp = Namespace(
+        pos_xyz_dim=12,
+        pos_dir_dim=4,
+        layers=8,
+        skip_layers=[4],
+        layer_dim=256,
+        appearance_dim=48,
+        affine_appearance=False,
+        use_cascade=False,
+        sh_deg=None,
+        shifted_softplus=True,
+    )
+    bundle = make_nerf(hp, appearance_count=8)
+    settings = RenderSettings(
+        coarse_samples=256,
+        fine_samples=512,
+        eval_compositor="merge",  # the composition under test
+    )
+    n_rays = 16384  # the image-chunk batch that triggers the known fault
+
+    params_sds = jax.eval_shape(bundle.init, jax.random.key(0))
+
+    def eval_fn(params, rays, image_indices):
+        results, _ = render_rays(
+            bundle, None, params, None, rays, image_indices, settings,
+            train=False,
+        )
+        return results
+
+    lowered = jax.jit(eval_fn).lower(
+        params_sds,
+        jax.ShapeDtypeStruct((n_rays, 8), jax.numpy.float32),
+        jax.ShapeDtypeStruct((n_rays,), jax.numpy.int32),
+    )
+    lowered.compile()
+    print(_PROBE_SENTINEL)
+
+
+if __name__ == "__main__":
+    _probe_main()

@@ -73,6 +73,13 @@ class RenderSettings:
     # train step 1.12x; True = always, even on CPU where the kernels run in
     # slow interpret mode (testing); False = XLA.
     use_pallas: Any = "auto"
+    # Coarse+fine compositor for the EVAL path: "merge" = sort-free
+    # two-sorted-lists merge (4.5x cheaper), "union" = O((Sa+Sb)^2) masked
+    # union, "auto" = merge where the serving compiler can lower it —
+    # decided once per compiler build by `render.compositor_probe`
+    # (a known-bad libtpu crashes on the composed graph; see _inference).
+    # Train always uses the merge (proven stable at train shapes).
+    eval_compositor: Any = "auto"
     get_depth: bool = False
     get_depth_variance: bool = False
     get_bg_fg_rgb: bool = False
@@ -87,6 +94,7 @@ class RenderSettings:
             sh_deg=getattr(hparams, "sh_deg", None),
             remat=getattr(hparams, "remat", False),
             use_pallas=getattr(hparams, "use_pallas", "auto"),
+            eval_compositor=getattr(hparams, "eval_compositor", "auto"),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -319,16 +327,25 @@ def _inference(
         # unsorted union. perturb > 1 voids the coarse list's sortedness
         # (jitter escapes the stratification bins) -> union fallback.
         #
-        # TRAIN ONLY: at eval batch sizes (16384-ray image chunks) the
-        # merge's (N, Sa, Sb) masked reduces, composed next to the Pallas
-        # eval kernels' custom calls, crash the TPU worker outright — an
-        # XLA:TPU lowering fault that is context-dependent (the identical
-        # reduces pass standalone at the same shapes, and pass composed
-        # with the XLA MLP path). The union compositor lowers cleanly in
-        # every composition we have hit, so eval keeps it; train (batch
-        # ~1024, fused custom-VJP kernels) is the hot path where the
-        # O(Sa*Sb) saving matters and is proven stable on hardware.
-        if train and settings.perturb <= 1.0:
+        # EVAL is gated per compiler build: at eval batch sizes
+        # (16384-ray image chunks) the merge's (N, Sa, Sb) masked reduces,
+        # composed next to the Pallas eval kernels' custom calls, crash
+        # one deployed libtpu outright — an XLA:TPU lowering fault that is
+        # context-dependent (the identical reduces pass standalone at the
+        # same shapes, and pass composed with the XLA MLP path). Train
+        # (batch ~1024, fused custom-VJP kernels) is proven stable
+        # everywhere; eval asks `compositor_probe.merge_eval_ok`, which
+        # version-gates the known-bad build and AOT-probes any other
+        # serving compiler once (guarded subprocess, cached verdict).
+        if train:
+            use_merge = settings.perturb <= 1.0
+        elif settings.eval_compositor == "auto":
+            from mega_nerf_tpu.render.compositor_probe import merge_eval_ok
+
+            use_merge = merge_eval_ok()
+        else:
+            use_merge = settings.eval_compositor == "merge"
+        if use_merge:
             cw = composite_weights_merge(
                 z_vals, sigmas,
                 results["zvals_coarse"], results["raw_sigma_coarse"],

@@ -204,14 +204,7 @@ def test_eval_deterministic_train_stochastic():
     assert not np.array_equal(np.asarray(r3["rgb_fine"]), np.asarray(r4["rgb_fine"]))
 
 
-def test_merge_compositor_routed_to_train_only(monkeypatch):
-    """Eval must NOT compile the merge compositor.
-
-    The merge's (N, Sa, Sb) masked reduces crash the TPU worker when
-    composed with the Pallas eval kernels at image-chunk batch sizes (an
-    XLA:TPU lowering fault bisected on hardware — see _inference); eval
-    routes through composite_weights_union, train keeps the merge.
-    """
+def _merge_spy(monkeypatch):
     from mega_nerf_tpu.render import rendering as R
 
     calls = []
@@ -222,15 +215,91 @@ def test_merge_compositor_routed_to_train_only(monkeypatch):
         return real_merge(*args, **kwargs)
 
     monkeypatch.setattr(R, "composite_weights_merge", spy)
+    return calls
+
+
+def test_eval_compositor_gated_by_probe(monkeypatch):
+    """The eval compositor choice is probe/version-gated per compiler build.
+
+    One deployed libtpu crashes lowering the merge's (N, Sa, Sb) masked
+    reduces composed with the Pallas eval kernels at image-chunk batches
+    (bisected on hardware — see _inference). Policy: "auto" asks
+    `compositor_probe.merge_eval_ok` (True here: CPU backends always lower
+    it cleanly); "union"/"merge" force; train always keeps the merge.
+    """
+    calls = _merge_spy(monkeypatch)
     hp = tiny_hparams()
     fg = make_nerf(hp, appearance_count=1)
     fg_params = fg.init(jax.random.key(0))
-    settings = RenderSettings(coarse_samples=8, fine_samples=8)
     rays = _straight_rays(4)
 
-    render_rays(fg, None, fg_params, None, rays, None, settings)
-    assert calls == [], "eval path must use the union compositor"
+    def render(settings, **kw):
+        calls.clear()
+        r, _ = render_rays(fg, None, fg_params, None, rays, None, settings, **kw)
+        return np.asarray(r["rgb_fine"]), list(calls)
 
-    render_rays(fg, None, fg_params, None, rays, None, settings,
-                train=True, key=jax.random.key(1))
-    assert calls == ["merge"], "train path must use the merge compositor"
+    auto = RenderSettings(coarse_samples=8, fine_samples=8)
+    merge = dataclasses.replace(auto, eval_compositor="merge")
+    union = dataclasses.replace(auto, eval_compositor="union")
+
+    img_auto, c_auto = render(auto)
+    assert c_auto == ["merge"], "auto on CPU must pick the cheap merge"
+    img_merge, c_merge = render(merge)
+    assert c_merge == ["merge"]
+    img_union, c_union = render(union)
+    assert c_union == [], "forced union must not compile the merge"
+    # Both compositors produce the same picture (perturb=0 eval lists are
+    # sorted, the merge applies exactly).
+    np.testing.assert_allclose(img_union, img_merge, atol=1e-6)
+    np.testing.assert_array_equal(img_auto, img_merge)
+
+    _, c_train = render(union, train=True, key=jax.random.key(1))
+    assert c_train == ["merge"], "train path always uses the merge"
+
+
+def test_compositor_probe_policy(tmp_path, monkeypatch):
+    """merge_eval_ok: env override > backend > version gate > cached probe."""
+    from mega_nerf_tpu.render import compositor_probe as CP
+
+    monkeypatch.setattr(CP, "_MEMO", {})
+    cache = tmp_path / "probe.json"
+
+    # CPU backend: merge without probing (a failing probe must not run).
+    def boom():
+        raise AssertionError("probe must not run on CPU backends")
+
+    assert CP.merge_eval_ok(probe=boom, cache_path=cache) is True
+
+    # Pretend we are on a TPU backend from here on.
+    monkeypatch.setattr(CP, "_is_tpu_backend", lambda: True)
+
+    # Known-bad serving compiler: union, no probe, no cache write.
+    bad = f"axon tpu Built on Nov 12 2025 {CP.KNOWN_BAD_BUILDS[0]}"
+    assert CP.merge_eval_ok(probe=boom, cache_path=cache, version=bad) is False
+    assert not cache.exists()
+
+    # Unknown compiler: probed once, verdict cached on disk and memoized.
+    probes = []
+
+    def probe_ok():
+        probes.append(1)
+        return True
+
+    v = "axon tpu cl/999"
+    assert CP.merge_eval_ok(probe=probe_ok, cache_path=cache, version=v) is True
+    assert probes == [1] and cache.exists()
+    monkeypatch.setattr(CP, "_MEMO", {})  # fresh process -> disk cache hit
+    assert CP.merge_eval_ok(probe=boom, cache_path=cache, version=v) is True
+
+    # A failing probe pins union for that build.
+    monkeypatch.setattr(CP, "_MEMO", {})
+    v2 = "axon tpu cl/1000"
+    assert CP.merge_eval_ok(probe=lambda: False, cache_path=cache,
+                            version=v2) is False
+    assert CP.merge_eval_ok(probe=boom, cache_path=cache, version=v2) is False
+
+    # Env override beats everything, both directions.
+    monkeypatch.setenv(CP.ENV_OVERRIDE, "merge")
+    assert CP.merge_eval_ok(probe=boom, cache_path=cache, version=bad) is True
+    monkeypatch.setenv(CP.ENV_OVERRIDE, "union")
+    assert CP.merge_eval_ok(probe=boom, cache_path=cache, version=v) is False
