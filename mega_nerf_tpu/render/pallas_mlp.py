@@ -238,25 +238,50 @@ def pack_params(cfg: NeRFConfig, params: Dict[str, Any],
     )
 
 
-def _freq_encode_groups(
-    x: jnp.ndarray,
-    groups: Tuple[Tuple[int, int], ...],
-    out_width: int,
-    extra: Optional[jnp.ndarray] = None,
-    extra_col: Optional[int] = None,
-) -> jnp.ndarray:
-    """Frequency-encode one or more coordinate groups into ONE lane tile.
+@dataclasses.dataclass(frozen=True)
+class EncodeLayout:
+    """Static per-column description of a packed frequency encoding tile.
 
-    x: (B, sum of group dims) — the groups' coordinates concatenated.
-    groups: ((d, num_freqs), ...) — each group's standard encoding
-    [x, sin(2^0 x), cos(2^0 x), ...] is laid out back to back, so packing
-    the position and direction encodings into a single 128-lane tile costs
-    one fused pass instead of two and feeds the fused kernels as one HBM
-    stream (the matmul weight rows are placed to match — see pack_params's
-    dir_packed layout).
-    """
-    b, d_total = x.shape
-    assert d_total == sum(d for d, _ in groups)
+    Shared by the XLA pre-encode path (`_freq_encode_groups`) and the
+    in-kernel encode (`_mlp_kernel` with `encode` set): column `col` holds
+    `sin(x[colsrc[col]] * scale[col] + phase[col])` when `kind[col] == 1`,
+    the raw coordinate when 0. Hashable (arrays as tuples) so it can ride
+    a jit-static kernel closure."""
+
+    d_total: int
+    live_cols: int
+    colsrc: Tuple[int, ...]
+    scale: Tuple[float, ...]
+    phase: Tuple[float, ...]
+    kind: Tuple[int, ...]
+
+    def np_arrays(self):
+        return (
+            np.asarray(self.colsrc, np.int32),
+            np.asarray(self.scale, np.float32),
+            np.asarray(self.phase, np.float32),
+            np.asarray(self.kind, np.int32),
+        )
+
+    def meta_tile(self) -> np.ndarray:
+        """(8, width) f32 tile of the per-column constants, passed to the
+        kernel as an INPUT (Pallas kernels cannot close over arrays):
+        row 0 = source-coordinate index, row 1 = scale, row 2 = phase,
+        row 3 = trig mask (1.0 = sin column). 8 sublanes = the f32 min
+        tile; rows 4-7 are zero padding."""
+        colsrc, scale, phase, kind = self.np_arrays()
+        meta = np.zeros((8, len(self.colsrc)), np.float32)
+        meta[0] = colsrc.astype(np.float32)
+        meta[1] = scale
+        meta[2] = phase
+        meta[3] = kind.astype(np.float32)
+        return meta
+
+
+def encode_layout(
+    groups: Tuple[Tuple[int, int], ...], out_width: int
+) -> EncodeLayout:
+    """((d, num_freqs), ...) -> column layout of the packed encode tile."""
     colsrc = np.full((out_width,), -1, np.int32)  # source coordinate per col
     scale = np.zeros((out_width,), np.float32)
     kind = np.zeros((out_width,), np.int32)  # 0 = linear/pad, 1 = trig
@@ -279,6 +304,38 @@ def _freq_encode_groups(
                     col += 1
         base += d
     assert col <= out_width
+    return EncodeLayout(
+        d_total=base,
+        live_cols=col,
+        colsrc=tuple(int(v) for v in colsrc),
+        scale=tuple(float(v) for v in scale),
+        phase=tuple(float(v) for v in phase),
+        kind=tuple(int(v) for v in kind),
+    )
+
+
+def _freq_encode_groups(
+    x: jnp.ndarray,
+    groups: Tuple[Tuple[int, int], ...],
+    out_width: int,
+    extra: Optional[jnp.ndarray] = None,
+    extra_col: Optional[int] = None,
+) -> jnp.ndarray:
+    """Frequency-encode one or more coordinate groups into ONE lane tile.
+
+    x: (B, sum of group dims) — the groups' coordinates concatenated.
+    groups: ((d, num_freqs), ...) — each group's standard encoding
+    [x, sin(2^0 x), cos(2^0 x), ...] is laid out back to back, so packing
+    the position and direction encodings into a single 128-lane tile costs
+    one fused pass instead of two and feeds the fused kernels as one HBM
+    stream (the matmul weight rows are placed to match — see pack_params's
+    dir_packed layout).
+    """
+    b, d_total = x.shape
+    assert d_total == sum(d for d, _ in groups)
+    layout = encode_layout(groups, out_width)
+    colsrc, scale, phase, kind = layout.np_arrays()
+    col = layout.live_cols
     # One fused full-width elementwise pass in f32 (see _freq_encode_block).
     xf = x.astype(jnp.float32)
     colv = jnp.asarray(colsrc)[None, :]
@@ -337,22 +394,34 @@ def _freq_encode_block(x: jnp.ndarray, num_freqs: int, out_width: int,
 
 
 def _mlp_kernel(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_pad: int,
-                dir_packed: bool, compute_dtype, *refs):
-    """Kernel body. refs = [enc, (dir_enc), (app), weights..., out].
+                dir_packed: bool, compute_dtype,
+                encode: Optional[EncodeLayout], *refs):
+    """Kernel body. refs = [enc|raw, (dir_enc), (app), weights..., out].
 
     `dir_pad` is the dir weight-row block width; with `dir_packed` there is
     no separate dir_enc stream — the dir-branch matmul reads the enc tile
     (dir_pad == enc_pad) and the weight rows are laid out to match.
 
-    Frequency encodings arrive PRE-COMPUTED (lane-padded, compute dtype):
-    encoding inside the kernel operates on (block, 3) vectors — 3 of 128
-    lanes live — and collapsed throughput ~4x (measured 30ms vs 7.6ms for
-    the same trunk at block=4096). XLA fuses the encode into wide
-    elementwise passes outside; the kernel keeps what benefits from VMEM
-    residency: the matmul chain and its activations.
+    Frequency encoding placement, two modes:
+    - `encode is None`: the encoding arrives PRE-COMPUTED in XLA
+      (lane-padded, compute dtype). That pass materializes a (M, 128)
+      tile to HBM that the kernel immediately re-reads.
+    - `encode` set (eval path): the first ref holds RAW coordinates
+      ((block, 8) f32 — xyz|dirs packed) followed by an (8, enc_pad)
+      per-column constants tile (`EncodeLayout.meta_tile` — Pallas
+      kernels cannot close over arrays, so the masks ride as an input),
+      and the encoding is computed HERE, lane-wide: per-coordinate column
+      broadcasts via constant-mask selects, one scale multiply, one
+      full-width sin. This keeps every op on all 128 lanes (the naive
+      in-kernel encode on (block, 3) vectors used 3 lanes and collapsed
+      throughput 4x — measured 30ms vs 7.6ms at block=4096) while cutting
+      the input stream from 256 B/point (bf16 tile) to 32 B/point and
+      deleting the XLA pass's HBM round-trip entirely; the VPU encode
+      overlaps the MXU-bound trunk.
     """
     it = iter(refs)
     enc_ref = next(it)
+    enc_meta_ref = next(it) if encode is not None else None
     dir_enc_ref = (
         next(it) if (cfg.pos_dir_dim > 0 and not dir_packed) else None
     )
@@ -367,7 +436,18 @@ def _mlp_kernel(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_pad: int,
     out_ref = next(it)
 
     cd = compute_dtype
-    enc = enc_ref[...].astype(cd)
+    if encode is not None:
+        raw = enc_ref[...].astype(jnp.float32)  # (B, raw_width)
+        meta = enc_meta_ref[...]  # (8, enc_pad) f32 — see meta_tile
+        b = raw.shape[0]
+        colv = meta[0:1, :]
+        xp = jnp.zeros((b, enc_pad), jnp.float32)
+        for c in range(encode.d_total):
+            xp = jnp.where(colv == float(c), raw[:, c : c + 1], xp)
+        xp = xp * meta[1:2, :] + meta[2:3, :]
+        enc = jnp.where(meta[3:4, :] == 1.0, jnp.sin(xp), xp).astype(cd)
+    else:
+        enc = enc_ref[...].astype(cd)
     h = enc
     for i, (k_ref, b_ref) in enumerate(trunk):
         if i in cfg.skip_layers:
@@ -445,12 +525,18 @@ def fused_nerf_eval(
     app_embed: Optional[jnp.ndarray] = None,  # (M, appearance_dim) pre-gathered
     block: int = 1024,
     interpret: Optional[bool] = None,
+    encode_in_kernel: Optional[bool] = None,
 ) -> jnp.ndarray:
     """-> (M, 4) [rgb, sigma]; bit-compatible with the Flax NeRF forward.
 
-    Takes raw xyz/dirs; the frequency encodings are computed here in XLA
-    (f32 transcendentals, fused wide elementwise) and only the lane-padded
-    results are streamed into the kernel — see `_mlp_kernel`'s docstring.
+    Takes raw xyz/dirs. Default (`encode_in_kernel` auto): whenever the
+    position+direction encodings pack into one lane tile (`dir_packed`,
+    the whole paper config family) or there is no direction branch, the
+    raw coordinates stream into the kernel as an (M, 8) f32 tile and the
+    encoding is computed in-kernel lane-wide — 8x less input HBM traffic
+    and no materialized (M, 128) encode tile (see `_mlp_kernel`). Configs
+    with a separate direction stream keep the XLA pre-encode (f32
+    transcendentals, fused wide elementwise).
     Replicates the reference packed-dirs quirk when cfg.ref_packed_dirs.
     """
     cfg = packed.config
@@ -474,7 +560,31 @@ def fused_nerf_eval(
             dir_coords = jnp.concatenate([xyz[:, -1:], dirs[:, :2]], axis=-1)
         else:
             dir_coords = dirs
-    if packed.dir_packed:
+
+    if encode_in_kernel is None:
+        encode_in_kernel = packed.dir_packed or cfg.pos_dir_dim == 0
+    layout = None
+    if encode_in_kernel:
+        assert packed.dir_packed or cfg.pos_dir_dim == 0, (
+            "in-kernel encode needs the single-tile (dir_packed) layout"
+        )
+        if cfg.pos_dir_dim > 0:
+            groups = ((xyz.shape[1], cfg.pos_xyz_dim),
+                      (dir_coords.shape[1], cfg.pos_dir_dim))
+            raw = jnp.concatenate(
+                [xyz.astype(jnp.float32), dir_coords.astype(jnp.float32)],
+                axis=-1,
+            )
+        else:
+            groups = ((xyz.shape[1], cfg.pos_xyz_dim),)
+            raw = xyz.astype(jnp.float32)
+        layout = encode_layout(groups, packed.enc_pad)
+        raw_w = _round_up(layout.d_total, 8)
+        raw = jnp.pad(raw, ((0, 0), (0, raw_w - layout.d_total)))
+        meta = jnp.asarray(layout.meta_tile())
+        inputs = [raw, meta]
+        in_specs = [point_spec(raw_w), weight_spec(meta)]
+    elif packed.dir_packed:
         # Position + direction encodings in ONE pass and ONE stream.
         enc = _freq_encode_groups(
             jnp.concatenate(
@@ -519,7 +629,7 @@ def fused_nerf_eval(
     kernel = partial(
         _mlp_kernel, cfg, packed.enc_pad,
         packed.enc_pad if packed.dir_packed else packed.dir_pad,
-        packed.app_pad, packed.dir_packed, cfg.dtype,
+        packed.app_pad, packed.dir_packed, cfg.dtype, layout,
     )
     compiler_params = None
     if not interpret:

@@ -63,6 +63,45 @@ def test_fused_matches_flax_paper_arch():
     )
 
 
+def test_in_kernel_encode_matches_pre_encode():
+    """encode_in_kernel=True (raw coords + meta tile into the kernel) must
+    be bit-identical to the XLA pre-encode path: both compute the same
+    select/scale/sin formulation in f32 before the compute-dtype cast."""
+    for hp_kw, app_count in (
+        ({"appearance_dim": 4}, 6),
+        ({"appearance_dim": 0, "pos_dir_dim": 0}, 1),
+        (
+            {
+                "pos_xyz_dim": 12, "pos_dir_dim": 4, "layers": 8,
+                "skip_layers": [4], "layer_dim": 256, "appearance_dim": 48,
+            },
+            16,
+        ),
+    ):
+        hp = tiny_hparams(**hp_kw)
+        bundle = make_nerf(hp, app_count)
+        params = bundle.init(jax.random.key(1))
+        packed = pack_params(bundle.config, params)
+        rng = np.random.default_rng(1)
+        n = 256
+        xyz = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+        dirs = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+        app = None
+        if bundle.config.appearance_dim > 0:
+            idx = jnp.asarray(rng.integers(0, app_count, n), jnp.int32)
+            app = jnp.asarray(params["appearance"]["embedding"])[idx]
+        use_dirs = bundle.config.pos_dir_dim > 0
+        out_pre = fused_nerf_eval(
+            packed, xyz, dirs if use_dirs else None, app, block=128,
+            interpret=True, encode_in_kernel=False,
+        )
+        out_ink = fused_nerf_eval(
+            packed, xyz, dirs if use_dirs else None, app, block=128,
+            interpret=True, encode_in_kernel=True,
+        )
+        np.testing.assert_array_equal(np.asarray(out_pre), np.asarray(out_ink))
+
+
 def test_renderer_pallas_path_matches_xla():
     """render_rays with use_pallas=True == default path (eval mode)."""
     from mega_nerf_tpu.render import RenderSettings, render_rays
