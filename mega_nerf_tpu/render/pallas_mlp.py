@@ -529,14 +529,19 @@ def fused_nerf_eval(
 ) -> jnp.ndarray:
     """-> (M, 4) [rgb, sigma]; bit-compatible with the Flax NeRF forward.
 
-    Takes raw xyz/dirs. Default (`encode_in_kernel` auto): whenever the
-    position+direction encodings pack into one lane tile (`dir_packed`,
-    the whole paper config family) or there is no direction branch, the
-    raw coordinates stream into the kernel as an (M, 8) f32 tile and the
-    encoding is computed in-kernel lane-wide — 8x less input HBM traffic
-    and no materialized (M, 128) encode tile (see `_mlp_kernel`). Configs
-    with a separate direction stream keep the XLA pre-encode (f32
-    transcendentals, fused wide elementwise).
+    Takes raw xyz/dirs; by default the frequency encodings are computed in
+    XLA (f32 transcendentals, one fused wide elementwise pass) and the
+    lane-padded tile is streamed into the kernel.
+
+    `encode_in_kernel=True` instead streams the raw coordinates ((M, 8)
+    f32) plus a per-column constants tile and computes the encode inside
+    the kernel (see `_mlp_kernel`). Measured on v5e at the paper eval
+    chunk: SLOWER end to end (367 vs 331 ms) — the select/broadcast
+    chain runs ~25 VPU ops per output element from RUNTIME meta inputs,
+    where the XLA pre-encode folds the column masks at compile time; the
+    saved (M, 128) HBM round-trip (~12 ms) doesn't cover the ~60 ms of
+    extra in-kernel VPU time. Kept as an opt-in (bit-identical, tested)
+    for future hardware where the balance shifts.
     Replicates the reference packed-dirs quirk when cfg.ref_packed_dirs.
     """
     cfg = packed.config
@@ -562,7 +567,7 @@ def fused_nerf_eval(
             dir_coords = dirs
 
     if encode_in_kernel is None:
-        encode_in_kernel = packed.dir_packed or cfg.pos_dir_dim == 0
+        encode_in_kernel = False  # measured slower on v5e — see docstring
     layout = None
     if encode_in_kernel:
         assert packed.dir_packed or cfg.pos_dir_dim == 0, (

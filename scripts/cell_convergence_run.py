@@ -48,6 +48,10 @@ def main() -> None:
     ap.add_argument("--bake", action="store_true",
                     help="also drive the L6 bake path on the merged model: "
                          "create_octree + a 2-frame render_images flythrough")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the latest per-cell checkpoint set in "
+                         "the workdir (the worker can wedge mid-run; see "
+                         "--ckpt_interval)")
     args = ap.parse_args()
     model_args = [
         "--coarse_samples", "256", "--fine_samples", "512",
@@ -129,6 +133,32 @@ def main() -> None:
         "--val_scale_factor", "1",
         "--compute_dtype", "bfloat16",
     ])
+
+    resume_from = 0
+    if args.resume:
+        # Latest checkpoint iteration present for EVERY cell (CellRunner's
+        # _restore_cells restacks the siblings from any one of them).
+        num_cells = args.grid[0] * args.grid[1]
+        per_cell_iters = []
+        for cell in range(num_cells):
+            cell_dir = work / f"sub{cell}"
+            iters = {
+                (int(v.name), int(p.stem))
+                for v in cell_dir.iterdir() if v.name.isdigit()
+                for p in (v / "models").glob("*.ckpt")
+            } if cell_dir.exists() else set()
+            per_cell_iters.append(iters)
+        common = set.intersection(*per_cell_iters) if per_cell_iters else set()
+        if common:
+            version, it = max(common, key=lambda vi: (vi[1], vi[0]))
+            hp.ckpt_path = str(
+                work / "sub0" / str(version) / "models" / f"{it}.ckpt"
+            )
+            resume_from = it
+            print(f"resuming all cells from iteration {it} "
+                  f"(version {version})")
+        else:
+            print("no common per-cell checkpoint found; training from scratch")
 
     t0 = time.perf_counter()
     runner = CellRunner(hp)
@@ -240,17 +270,20 @@ def main() -> None:
         bake["flythrough_seconds"] = round(time.perf_counter() - t0, 1)
         bake["flythrough_frames"] = n_frames
 
+    trained_steps = args.steps - resume_from
     summary = {
         "steps": args.steps,
         "num_cells": num_cells,
         "cell_axis": args.cell_axis,
         "train_wall_seconds": round(train_wall, 1),
         "cell_parallel_rays_per_sec": round(
-            args.steps * hp.batch_size * num_cells / train_wall, 1
-        ),
+            trained_steps * hp.batch_size * num_cells / train_wall, 1
+        ) if trained_steps > 0 else 0.0,
         "merged_val_psnr": round(psnr, 3),
         **bake,
     }
+    if resume_from:
+        summary["resumed_from_iteration"] = resume_from
     with open(work / "summary.json", "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
