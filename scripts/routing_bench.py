@@ -1,0 +1,146 @@
+"""Large-K merged-mixture render throughput: routed vs dense.
+
+The reference ships 8- AND 25-submodule merged models
+(`/root/reference/README.md:39-51`); its query path boolean-indexes points
+per submodule (`mega_nerf/models/mega_nerf.py:35-49`, dynamic shapes). Our
+dense blend (`mega_apply`) pays K× FLOPs — fine at K=8, ruinous at K=25 —
+and `mega_apply_routed` (sorted-gather block routing) is the large-K plan.
+This script measures both on a real chip at the paper model scale so the
+auto crossover (ModelBundle.routing == "auto": routed above 8) is backed
+by numbers.
+
+Usage: python scripts/routing_bench.py [--rays 4096] [--iters 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def grid_centroids(gx: int, gy: int, spacing: float = 1.0):
+    import numpy as np
+
+    ys, zs = np.meshgrid(np.arange(gx), np.arange(gy), indexing="ij")
+    return np.stack(
+        [
+            np.zeros(gx * gy),
+            (ys.reshape(-1) - (gx - 1) / 2) * spacing,
+            (zs.reshape(-1) - (gy - 1) / 2) * spacing,
+        ],
+        axis=1,
+    ).astype(np.float32)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rays", type=int, default=4096)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--margin", type=float, default=1.15)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny model/samples on CPU: wiring check")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mega_nerf_tpu.models.factory import _make_bundle
+    from mega_nerf_tpu.opts import get_opts_base, parse_opts
+    from mega_nerf_tpu.render import RenderSettings, render_rays
+
+    results = {}
+    for k, grid in ((8, (4, 2)), (25, (5, 5))):
+        for routing in ("dense", "routed"):
+            if k == 25 and routing == "dense" and args.iters > 2:
+                iters = 2  # 25x FLOPs — don't spend minutes proving slowness
+            else:
+                iters = args.iters
+            model_args = [
+                "--coarse_samples", "256", "--fine_samples", "512",
+                "--pos_xyz_dim", "12", "--pos_dir_dim", "4",
+                "--layers", "8", "--skip_layers", "4",
+                "--layer_dim", "256", "--bg_layer_dim", "256",
+                "--appearance_dim", "48",
+            ]
+            if args.smoke:
+                jax.config.update("jax_platforms", "cpu")
+                args.rays = min(args.rays, 64)
+                model_args = [
+                    "--coarse_samples", "16", "--fine_samples", "16",
+                    "--pos_xyz_dim", "6", "--pos_dir_dim", "2",
+                    "--layers", "2", "--skip_layers", "1",
+                    "--layer_dim", "32", "--bg_layer_dim", "32",
+                    "--appearance_dim", "8",
+                ]
+            hp = parse_opts(get_opts_base(), model_args + [
+                "--near", "0.5",
+                "--ray_altitude_range", "-2.0", "2.0",
+                "--compute_dtype", "bfloat16",
+                "--mega_routing", routing,
+            ])
+            hp._mega_centroid_metadata = {
+                "centroids": grid_centroids(*grid),
+                "cluster_2d": True,
+            }
+            bundle = _make_bundle(hp, 64, 256, 3)
+            bundle.boundary_margin = args.margin
+            params = bundle.init(jax.random.key(0))
+
+            n = args.rays
+            rng = np.random.default_rng(0)
+            d = rng.normal(size=(n, 3))
+            d /= np.linalg.norm(d, axis=-1, keepdims=True)
+            o = rng.normal(size=(n, 3)) * 0.5
+            rays = jnp.asarray(
+                np.concatenate(
+                    [o, d, np.full((n, 1), 0.5), np.full((n, 1), 3.0)], -1
+                ),
+                jnp.float32,
+            )
+            idx = jnp.asarray(rng.integers(0, 64, n), jnp.int32)
+            settings = RenderSettings(
+                coarse_samples=hp.coarse_samples, fine_samples=hp.fine_samples
+            )
+
+            def step(rays_in):
+                r, _ = render_rays(
+                    bundle, None, params, None, rays_in, idx, settings
+                )
+                rgb = r["rgb_fine"]
+                return rays_in.at[:, 0:3].add(0.0 * rgb), rgb
+
+            step = jax.jit(step)
+            t0 = time.perf_counter()
+            rr, rgb = step(rays)
+            jax.block_until_ready(rgb)
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                rr, rgb = step(rr)
+            jax.block_until_ready(rgb)
+            per = (time.perf_counter() - t0) / iters
+            tag = f"k{k}_{routing}"
+            results[tag] = {
+                "rays_per_sec": round(n / per, 1),
+                "ms": round(per * 1e3, 1),
+                "compile_s": round(compile_s, 1),
+            }
+            print(tag, json.dumps(results[tag]), flush=True)
+
+    print(json.dumps({
+        "metric": "mega_routing_bench",
+        "results": results,
+        "routed25_over_dense8": round(
+            results["k8_dense"]["ms"] / results["k25_routed"]["ms"], 3
+        ),
+    }))
+
+
+if __name__ == "__main__":
+    main()
