@@ -49,28 +49,39 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def supports_fused_kernels(cfg: NeRFConfig) -> bool:
+def supports_fused_kernels(cfg: NeRFConfig, train: bool = False) -> bool:
     """Whether the fused eval/train kernels cover this architecture on TPU.
 
     - The in-kernel row-slice offsets (skip split at enc_pad, dir_a splits
       at layer_dim / +dir_pad) must be Mosaic sublane-aligned, which holds
       when layer_dim is lane-aligned. CPU interpret mode has no such
       restriction (tests run tiny dims).
-    - The whole weight set must be VMEM-resident for the entire grid — and
-      the training backward additionally holds f32 weights AND f32 grad
-      accumulators. An 8x2048 model (the `mega-nerf-dense` / `nerf`
-      families) needs ~134 MB of f32 trunk weights alone vs the ~100 MB
-      budget, so anything past 1024 channels falls back to XLA.
+    - The whole weight set must be VMEM-resident for the entire grid. EVAL
+      holds bf16 weights: an 8x2048 model (the `mega-nerf-dense` / `nerf`
+      families) is ~74 MB against the 100 MB scoped-VMEM budget, so the
+      eval gate reaches 2048 channels (`eval_block_for` shrinks the point
+      block to keep activations inside the remainder). The TRAIN backward
+      additionally holds f32 weights AND f32 grad accumulators —
+      ~270 MB at 8x2048 — so training past 1024 channels falls back to
+      XLA.
     - Architecture limits (rgb-only head, no affine appearance) are shared
       by pack_params."""
+    max_dim = 1024 if train else 2048
     return (
         cfg.rgb_dim == 3
         and not cfg.affine_appearance
         and (
             jax.default_backend() != "tpu"
-            or (cfg.layer_dim % LANE == 0 and cfg.layer_dim <= 1024)
+            or (cfg.layer_dim % LANE == 0 and cfg.layer_dim <= max_dim)
         )
     )
+
+
+def eval_block_for(cfg: NeRFConfig, block: int = 1024) -> int:
+    """Point-block size for the eval kernel: halve past 1024 channels so
+    the (block, layer_dim) f32 activation tiles fit VMEM next to the
+    resident bf16 weight set."""
+    return min(block, 512) if cfg.layer_dim > 1024 else block
 
 
 def choose_block(m: int, block: int) -> Tuple[int, int]:

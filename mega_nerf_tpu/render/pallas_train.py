@@ -375,7 +375,7 @@ def _make_train_fn(cfg: NeRFConfig, enc_pad: int, dir_pad: int,
 
 
 # Same coverage rule for forward-only and training kernels.
-supports_fused_train = supports_fused_kernels
+supports_fused_train = functools.partial(supports_fused_kernels, train=True)
 
 
 def fused_nerf_train_apply(

@@ -112,20 +112,21 @@ def _log_mlp_path(message: str) -> None:
         main_print(message)
 
 
-def _supports_fused(bundle) -> bool:
+def _supports_fused(bundle, train: bool = False) -> bool:
     """Eval/train fused-kernel eligibility for this bundle's architecture.
 
     Mega mixtures and duck-typed test fakes (no `cascade` attr) are out;
     real bundles additionally need the kernel shape coverage
     (pallas_mlp.supports_fused_kernels: rgb head, no affine appearance,
-    lane-aligned layer_dim on TPU)."""
+    lane-aligned layer_dim on TPU; the train gate stops at 1024 channels
+    where eval reaches 2048 — see that docstring)."""
     if getattr(bundle, "is_mega", True):
         return False
     if not hasattr(bundle, "cascade") or not hasattr(bundle, "config"):
         return False
     from mega_nerf_tpu.render.pallas_mlp import supports_fused_kernels
 
-    return supports_fused_kernels(bundle.config)
+    return supports_fused_kernels(bundle.config, train=train)
 
 
 def _app_embed_per_ray(cfg, params, image_indices, n, s):
@@ -158,9 +159,11 @@ def _pallas_eval(bundle, params, flat_xyz, dirs, app_embed,
         pad_points,
     )
 
+    from mega_nerf_tpu.render.pallas_mlp import eval_block_for
+
     packed = pack_params(bundle.config, params)
     m = flat_xyz.shape[0]
-    block, m_pad = choose_block(m, block)
+    block, m_pad = choose_block(m, eval_block_for(bundle.config, block))
     out = fused_nerf_eval(
         packed,
         pad_points(flat_xyz, m_pad),
@@ -213,7 +216,7 @@ def _model_eval(
         pallas_ok, why = False, f"non-TPU backend ({jax.default_backend()})"
     elif settings.sh_deg is not None:
         pallas_ok, why = False, "SH output head"
-    elif not _supports_fused(bundle):
+    elif not _supports_fused(bundle, train=train):
         pallas_ok, why = False, (
             "architecture outside kernel coverage (mega mixture, affine "
             "appearance, or layer_dim gate — see pallas_mlp.supports_fused_kernels)"

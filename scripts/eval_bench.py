@@ -33,6 +33,10 @@ def main() -> None:
     ap.add_argument("--pre_encode", action="store_true",
                     help="A/B: force the XLA pre-encode feeding the kernel")
     ap.add_argument("--no_bg", action="store_true")
+    ap.add_argument("--layer_dim", type=int, default=256,
+                    help="trunk width (2048 = the mega-nerf-dense family)")
+    ap.add_argument("--coarse_samples", type=int, default=256)
+    ap.add_argument("--fine_samples", type=int, default=512)
     ap.add_argument("--profile", type=str, default=None,
                     help="capture a jax.profiler trace of the timed loop")
     args = ap.parse_args()
@@ -46,10 +50,12 @@ def main() -> None:
     from mega_nerf_tpu.render import RenderSettings, render_rays
 
     hp = parse_opts(get_opts_base(), [
-        "--coarse_samples", "256", "--fine_samples", "512",
+        "--coarse_samples", str(args.coarse_samples),
+        "--fine_samples", str(args.fine_samples),
         "--pos_xyz_dim", "12", "--pos_dir_dim", "4",
         "--layers", "8", "--skip_layers", "4",
-        "--layer_dim", "256", "--bg_layer_dim", "256",
+        "--layer_dim", str(args.layer_dim),
+        "--bg_layer_dim", str(args.layer_dim),
         "--appearance_dim", "48",
         "--near", "0.5",
         "--ray_altitude_range", "-2.0", "2.0",
@@ -91,8 +97,8 @@ def main() -> None:
             _r.fused_nerf_eval = pallas_mlp.fused_nerf_eval
 
     settings = RenderSettings(
-        coarse_samples=hp.coarse_samples,
-        fine_samples=hp.fine_samples,
+        coarse_samples=args.coarse_samples,
+        fine_samples=args.fine_samples,
         use_pallas=False if args.xla else "auto",
     )
 
