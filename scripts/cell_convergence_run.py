@@ -43,6 +43,15 @@ def main() -> None:
     ap.add_argument("--grid", type=int, nargs=2, default=[2, 1],
                     help="cluster grid (num_cells = grid[0]*grid[1])")
     ap.add_argument("--hw", type=int, default=128)
+    ap.add_argument("--n_train", type=int, default=28,
+                    help="training images in the synthetic scene. Fine grids "
+                         "need more: with a 4x2 grid, 28 ring cameras leave "
+                         "each small cell so few distinct viewpoints that "
+                         "submodules overfit them (train PSNR ~38) and grow "
+                         "view-consistent floaters that only show up at "
+                         "held-out angles — the reference's real scenes have "
+                         "1000+ images per 8-cell split")
+    ap.add_argument("--n_val", type=int, default=2)
     ap.add_argument("--smoke", action="store_true",
                     help="tiny model/scene: wiring check on CPU")
     ap.add_argument("--bake", action="store_true",
@@ -77,7 +86,8 @@ def main() -> None:
     # flags: the dataset and masks stages are skipped when their artifacts
     # exist, so a changed --grid/--hw/--smoke would otherwise be ignored.
     stamp_path = work / "scene_config.json"
-    stamp = {"grid": list(args.grid), "hw": args.hw, "smoke": bool(args.smoke)}
+    stamp = {"grid": list(args.grid), "hw": args.hw, "smoke": bool(args.smoke),
+             "n_train": args.n_train, "n_val": args.n_val}
     if stamp_path.exists():
         old = json.loads(stamp_path.read_text())
         if old != stamp:
@@ -95,7 +105,8 @@ def main() -> None:
     ds = work / "ds"
     if not (ds / "coordinates.pt").exists():
         print("building synthetic dataset...")
-        make_synthetic_dataset(ds, n_train=28, n_val=2, hw=(args.hw, args.hw))
+        make_synthetic_dataset(ds, n_train=args.n_train, n_val=args.n_val,
+                               hw=(args.hw, args.hw))
 
     # --- 2. cluster masks: 2x1 grid ---
     import scripts.create_cluster_masks as ccm
