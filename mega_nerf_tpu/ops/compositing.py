@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -125,6 +126,153 @@ def composite_weights_merge(
     ta_cross = jnp.sum(jnp.where(m, log_t_b[..., None, :], 0.0), axis=-1)
     tb_cross = jnp.sum(jnp.where(mt, 0.0, log_t_a[..., None, :]), axis=-1)
 
+    w_a = -jnp.expm1(u_a) * jnp.exp(ca + ta_cross)
+    w_b = -jnp.expm1(u_b) * jnp.exp(cb + tb_cross)
+    bg_lambda = jnp.exp(
+        jnp.sum(log_t_a, axis=-1) + jnp.sum(log_t_b, axis=-1)
+    )
+    return CompositeWeights(
+        weights=jnp.concatenate([w_a, w_b], axis=-1), bg_lambda=bg_lambda
+    )
+
+
+def _cross_terms_grouped(
+    q: jnp.ndarray,
+    keys: jnp.ndarray,
+    log_t: jnp.ndarray,
+    strict: bool,
+    group: int = 16,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-query cross-list terms against ONE sorted key list, two-level.
+
+    For each query q_i over ascending keys (N, P) with per-key payload
+    `log_t`, define prefix_i = {j : keys_j < q_i} (strict) or {keys_j <=
+    q_i}. Returns (next_key, prefix_sum): the smallest key NOT in the
+    prefix (1e30 sentinel if none) and the payload sum over the prefix.
+
+    This is the merge compositor's O(Sa*Sb) pairwise work in O(Q*(G+g)):
+    level 1 counts fully-prefix groups by their max key, the straddling
+    group's block is selected with an exact one-hot matmul (MXU), and the
+    within-block mask handles the boundary; whole-group payload sums ride
+    an exclusive cumsum over G. Exact subset sums — only float
+    reassociation differs from the pairwise form.
+    """
+    n, p = keys.shape
+    g = group
+    num_groups = -(-p // g)
+    pad = num_groups * g - p
+    big = jnp.array(1e30, keys.dtype)
+    # Pads: 1e30 keys are never in any prefix (q is a real depth) and never
+    # the next_key min unless no real key qualifies — the wanted sentinel.
+    keys_p = jnp.pad(keys, ((0, 0), (0, pad)), constant_values=1e30)
+    lt_p = jnp.pad(log_t, ((0, 0), (0, pad)))
+    k_blk = keys_p.reshape(n, num_groups, g)
+    lt_blk = lt_p.reshape(n, num_groups, g)
+    gmax = k_blk[:, :, -1]
+    gmin = k_blk[:, :, 0]
+
+    def pred(k, x):
+        return k < x if strict else k <= x
+
+    full = pred(gmax[:, None, :], q[:, :, None])  # (N, Q, G)
+    gi = jnp.minimum(
+        jnp.sum(full.astype(jnp.int32), axis=-1), num_groups - 1
+    )
+
+    hp = jax.lax.Precision.HIGHEST
+    oh = (jnp.arange(num_groups) == gi[..., None]).astype(keys.dtype)
+    sel_k = jnp.einsum("nqG,nGk->nqk", oh, k_blk, precision=hp)
+    sel_lt = jnp.einsum("nqG,nGk->nqk", oh, lt_blk, precision=hp)
+    m = pred(sel_k, q[:, :, None])  # (N, Q, g)
+
+    group_sums = jnp.sum(lt_blk, axis=-1)  # (N, G)
+    excl = jnp.cumsum(group_sums, axis=-1) - group_sums
+    prefix_sum = jnp.einsum("nqG,nG->nq", oh, excl, precision=hp) + jnp.sum(
+        jnp.where(m, sel_lt, 0.0), axis=-1
+    )
+
+    next_within = jnp.min(jnp.where(m, big, sel_k), axis=-1)
+    oh_next = (jnp.arange(num_groups) == (gi + 1)[..., None]).astype(keys.dtype)
+    next_group = jnp.where(
+        gi + 1 < num_groups,
+        jnp.einsum("nqG,nG->nq", oh_next, gmin, precision=hp),
+        big,
+    )
+    return jnp.minimum(next_within, next_group), prefix_sum
+
+
+def composite_weights_merge_grouped(
+    z_a: jnp.ndarray,
+    sigmas_a: jnp.ndarray,
+    z_b: jnp.ndarray,
+    sigmas_b: jnp.ndarray,
+    last_delta: jnp.ndarray,
+    flip: bool = False,
+    group: int = 16,
+) -> CompositeWeights:
+    """`composite_weights_merge` with two-level grouped cross terms.
+
+    Same contract and tie semantics (lists pre-sorted in composite order;
+    A occupies the lower concat indices). The O(Sa*Sb) pairwise masked
+    reduces — ~20% of eval device time at the paper config even in the
+    4.5x-cheaper merge form (PERF.md round-3 profile) — become
+    O(Sa*(G+g)) grouped searches plus exact one-hot block selects
+    (`_cross_terms_grouped`). Results differ from the pairwise form only
+    by float reassociation of the prefix log-transmittance sums
+    (tests/test_ops_compositing.py pins allclose at 1e-5).
+
+    Also a candidate workaround for the deployed-compiler fault that
+    forces eval onto the union compositor (render/compositor_probe.py):
+    the grouped lowering contains no (N, Sa, Sb) fused broadcasts at all.
+    """
+    if last_delta.ndim == sigmas_a.ndim:
+        last_delta = last_delta[..., 0]
+    ka = -z_a if flip else z_a
+    kb = -z_b if flip else z_b
+
+    big = jnp.array(1e30, ka.dtype)
+    gap_a_own = jnp.concatenate(
+        [ka[..., 1:] - ka[..., :-1], jnp.full_like(ka[..., :1], big)], axis=-1
+    )
+    gap_b_own = jnp.concatenate(
+        [kb[..., 1:] - kb[..., :-1], jnp.full_like(kb[..., :1], big)], axis=-1
+    )
+
+    log_eps = jnp.log(jnp.array(1e-8, ka.dtype))
+
+    # Tie rule (concat order: A before B): a B sample tied with an A sample
+    # composites AFTER it. Successors of a_i in B = {kb_j >= ka_i} =
+    # complement of the STRICT prefix {kb_j < ka_i}; successors of b_j in
+    # A = {ka_i > kb_j} = complement of the NON-STRICT prefix
+    # {ka_i <= kb_j}. Deltas depend only on keys, so next-keys come first;
+    # the prefix log-transmittance sums need log_t (which needs deltas)
+    # and run as a second grouped pass — XLA CSEs the repeated group
+    # search and block selects between the two passes.
+    next_b_for_a, _ = _cross_terms_grouped(
+        ka, kb, jnp.zeros_like(kb), strict=True, group=group
+    )
+    next_a_for_b, _ = _cross_terms_grouped(
+        kb, ka, jnp.zeros_like(ka), strict=False, group=group
+    )
+    delta_a = jnp.minimum(gap_a_own, next_b_for_a - ka)
+    delta_b = jnp.minimum(gap_b_own, next_a_for_b - kb)
+    delta_a = jnp.where(delta_a < 1e29, delta_a, last_delta[:, None])
+    delta_b = jnp.where(delta_b < 1e29, delta_b, last_delta[:, None])
+
+    u_a = -delta_a * sigmas_a
+    u_b = -delta_b * sigmas_b
+    log_t_a = jnp.logaddexp(u_a, log_eps)
+    log_t_b = jnp.logaddexp(u_b, log_eps)
+
+    _, ta_cross = _cross_terms_grouped(
+        ka, kb, log_t_b, strict=True, group=group
+    )
+    _, tb_cross = _cross_terms_grouped(
+        kb, ka, log_t_a, strict=False, group=group
+    )
+
+    ca = jnp.cumsum(log_t_a, axis=-1) - log_t_a
+    cb = jnp.cumsum(log_t_b, axis=-1) - log_t_b
     w_a = -jnp.expm1(u_a) * jnp.exp(ca + ta_cross)
     w_b = -jnp.expm1(u_b) * jnp.exp(cb + tb_cross)
     bg_lambda = jnp.exp(

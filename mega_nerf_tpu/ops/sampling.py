@@ -32,12 +32,122 @@ def expand_and_perturb_z_vals(
     return lower + (upper - lower) * u
 
 
+def _bracket_dense(
+    u: jnp.ndarray, cdf: jnp.ndarray, bins: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Bracketing (cdf_lo, cdf_hi, bins_lo, bins_hi) of each u in a per-ray
+    ascending cdf, via full masked reduces over all S+1 entries.
+
+    Semantics match searchsorted(cdf, u, side="right") BEFORE the boundary
+    clamps (callers clamp). O(fs * S) VPU work per ray.
+    """
+    # Finite sentinels, not +-inf: infs inside fused where/reduce kernels
+    # produce 0*inf = NaN under XLA's optimized (but not de-optimized)
+    # lowering. cdf lives in [0, 1] and bins are scene depths << 1e30.
+    mask = cdf[:, None, :] <= u[:, :, None]  # (N, fs, S+1)
+    neg = jnp.array(-1e30, cdf.dtype)
+    pos = jnp.array(1e30, cdf.dtype)
+    cdf_lo = jnp.max(jnp.where(mask, cdf[:, None, :], neg), axis=-1)
+    cdf_hi = jnp.min(jnp.where(mask, pos, cdf[:, None, :]), axis=-1)
+    bins_lo = jnp.max(jnp.where(mask, bins[:, None, :], neg), axis=-1)
+    bins_hi = jnp.min(jnp.where(mask, pos, bins[:, None, :]), axis=-1)
+    return cdf_lo, cdf_hi, bins_lo, bins_hi
+
+
+def _bracket_grouped(
+    u: jnp.ndarray, cdf: jnp.ndarray, bins: jnp.ndarray, group: int = 16
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """`_bracket_dense` in O(fs * (G + g)) VPU work via a two-level search.
+
+    The dense bracketing is ~19% of eval device time at the paper config
+    (PERF.md round-3 profile: 64 ms of 331 per 16k-ray chunk). Both cdf and
+    u ascend, so the bracketing pair lives in ONE g-wide group of the cdf:
+    level 1 counts how many group-max values precede u (G compares), the
+    straddling group's block is selected with a one-hot matmul (MXU, exact:
+    one-hot weights are 0/1), and the within-block masked reduces run over
+    g elements instead of S+1. Group-level candidates gmax[gi-1] /
+    gmin[gi+1] cover brackets that fall outside the selected block.
+    Bit-identical to `_bracket_dense` (tests/test_ops_sampling.py).
+    """
+    n_rays, p = cdf.shape
+    fs = u.shape[-1]
+    g = group
+    num_groups = -(-p // g)
+    pad = num_groups * g - p
+    # +1e30 pads sit past the real entries: never <= u (so never in a
+    # prefix), and the callers' boundary clamps remove them from hi-side
+    # mins when u exceeds every real cdf value.
+    big = jnp.array(1e30, cdf.dtype)
+    neg = -big
+    cdf_p = jnp.pad(cdf, ((0, 0), (0, pad)), constant_values=1e30)
+    bins_p = jnp.pad(bins, ((0, 0), (0, pad)), constant_values=1e30)
+    cdf_blocks = cdf_p.reshape(n_rays, num_groups, g)
+    bins_blocks = bins_p.reshape(n_rays, num_groups, g)
+    gmax_cdf = cdf_blocks[:, :, -1]  # (N, G) last (== max) of each group
+    gmin_cdf = cdf_blocks[:, :, 0]
+    gmax_bins = bins_blocks[:, :, -1]
+    gmin_bins = bins_blocks[:, :, 0]
+
+    # Level 1: straddling group index. Groups < gi are entirely prefix
+    # (their max <= u); groups > gi entirely suffix (ascending cdf).
+    gi = jnp.sum(
+        (gmax_cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1
+    )
+    gi = jnp.minimum(gi, num_groups - 1)  # u past every group max
+
+    # Level 2: block select by one-hot matmul (no row gathers on TPU). The
+    # one-hot is exact in any dtype; HIGHEST precision keeps the f32
+    # payload un-truncated (default TPU dots round f32 inputs to bf16).
+    oh = (jnp.arange(num_groups) == gi[..., None]).astype(cdf.dtype)
+    sel_cdf = jnp.einsum(
+        "nfG,nGk->nfk", oh, cdf_blocks, precision=jax.lax.Precision.HIGHEST
+    )
+    sel_bins = jnp.einsum(
+        "nfG,nGk->nfk", oh, bins_blocks, precision=jax.lax.Precision.HIGHEST
+    )
+    m = sel_cdf <= u[:, :, None]  # (N, fs, g)
+    lo_cdf_w = jnp.max(jnp.where(m, sel_cdf, neg), axis=-1)
+    hi_cdf_w = jnp.min(jnp.where(m, big, sel_cdf), axis=-1)
+    lo_bins_w = jnp.max(jnp.where(m, sel_bins, neg), axis=-1)
+    hi_bins_w = jnp.min(jnp.where(m, big, sel_bins), axis=-1)
+
+    # Group-level candidates: the last fully-prefix group's max (bracket
+    # lo when the block's first element already exceeds u) and the first
+    # fully-suffix group's min (bracket hi when the block is all prefix).
+    oh_prev = (jnp.arange(num_groups) == (gi - 1)[..., None]).astype(cdf.dtype)
+    oh_next = (jnp.arange(num_groups) == (gi + 1)[..., None]).astype(cdf.dtype)
+    hp = jax.lax.Precision.HIGHEST
+    glo_cdf = jnp.where(
+        gi > 0, jnp.einsum("nfG,nG->nf", oh_prev, gmax_cdf, precision=hp), neg
+    )
+    glo_bins = jnp.where(
+        gi > 0, jnp.einsum("nfG,nG->nf", oh_prev, gmax_bins, precision=hp), neg
+    )
+    in_range = gi + 1 < num_groups
+    ghi_cdf = jnp.where(
+        in_range,
+        jnp.einsum("nfG,nG->nf", oh_next, gmin_cdf, precision=hp), big
+    )
+    ghi_bins = jnp.where(
+        in_range,
+        jnp.einsum("nfG,nG->nf", oh_next, gmin_bins, precision=hp), big
+    )
+
+    return (
+        jnp.maximum(lo_cdf_w, glo_cdf),
+        jnp.minimum(hi_cdf_w, ghi_cdf),
+        jnp.maximum(lo_bins_w, glo_bins),
+        jnp.minimum(hi_bins_w, ghi_bins),
+    )
+
+
 def sample_cdf(
     bins: jnp.ndarray,
     cdf: jnp.ndarray,
     fine_samples: int,
     det: bool,
     key: jax.Array | None,
+    grouped: bool | None = None,
 ) -> jnp.ndarray:
     """Inverse-transform sampling of `fine_samples` depths from a per-ray CDF.
 
@@ -45,6 +155,12 @@ def sample_cdf(
     Deterministic mode uses an even linspace over [0, 1]. Parity:
     reference `rendering.py:505-536` (random mode matches in distribution
     of the sample SET; see the sorted-uniform note below).
+
+    `grouped`: None = size heuristic (two-level bracketing when the cdf has
+    >= 64 entries); True/False force the grouped / dense bracketing. The
+    train render path forces False until the grouped einsum pattern is
+    validated against the deployed compiler next to the fused train
+    kernels (render/rendering.py).
 
     Guarantee: the returned depths are ascending along the last axis in
     BOTH modes (u ascends and the inverse-CDF interpolation is monotone).
@@ -78,21 +194,17 @@ def sample_cdf(
     # Both `bins` and `cdf` ascend, and "cdf_j <= u" is a prefix mask, so
     # the left neighbor of u is a prefix-masked MAX and the right neighbor
     # a suffix-masked MIN — XLA fuses each broadcast+select+reduce into one
-    # vectorized pass with no (N, fs, S+1) materialization.
+    # vectorized pass with no (N, fs, S+1) materialization. At eval sizes
+    # the two-level grouped search does the same in ~9x less VPU work
+    # (`_bracket_grouped`); tiny cdfs keep the single-level reduce.
     # Semantics match searchsorted(cdf, u, side="right") with index clamping
     # (the clamps below cover u outside [cdf_0, cdf_S], including the
     # deterministic u = 1.0 endpoint), duplicate cdf values included: the
     # prefix max of an ascending array IS its last in-prefix element.
-    # Finite sentinels, not +-inf: infs inside fused where/reduce kernels
-    # produce 0*inf = NaN under XLA's optimized (but not de-optimized)
-    # lowering. cdf lives in [0, 1] and bins are scene depths << 1e30.
-    mask = cdf[:, None, :] <= u[:, :, None]  # (N, fs, S+1)
-    neg = jnp.array(-1e30, cdf.dtype)
-    pos = jnp.array(1e30, cdf.dtype)
-    cdf_lo = jnp.max(jnp.where(mask, cdf[:, None, :], neg), axis=-1)
-    cdf_hi = jnp.min(jnp.where(mask, pos, cdf[:, None, :]), axis=-1)
-    bins_lo = jnp.max(jnp.where(mask, bins[:, None, :], neg), axis=-1)
-    bins_hi = jnp.min(jnp.where(mask, pos, bins[:, None, :]), axis=-1)
+    if grouped is None:
+        grouped = cdf.shape[-1] >= 64
+    bracket = _bracket_grouped if grouped else _bracket_dense
+    cdf_lo, cdf_hi, bins_lo, bins_hi = bracket(u, cdf, bins)
     cdf_lo = jnp.maximum(cdf_lo, cdf[:, :1])
     bins_lo = jnp.maximum(bins_lo, bins[:, :1])
     cdf_hi = jnp.minimum(cdf_hi, cdf[:, -1:])
@@ -109,6 +221,7 @@ def sample_pdf(
     fine_samples: int,
     det: bool,
     key: jax.Array | None,
+    grouped: bool | None = None,
 ) -> jnp.ndarray:
     """Hierarchical resampling: draw fine depths proportional to coarse weights.
 
@@ -118,4 +231,4 @@ def sample_pdf(
     weights = weights + 1e-8
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
     cdf = jnp.cumsum(pdf, axis=-1)
-    return sample_cdf(bins, cdf, fine_samples, det, key)
+    return sample_cdf(bins, cdf, fine_samples, det, key, grouped=grouped)

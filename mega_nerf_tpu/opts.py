@@ -124,13 +124,14 @@ def get_opts_base() -> argparse.ArgumentParser:
                              '(default "auto": on for TPU render/eval '
                              'paths, 1.43x over the XLA lowering on v5e)')
     parser.add_argument('--eval_compositor', type=str, default='auto',
-                        choices=['auto', 'merge', 'union'],
+                        choices=['auto', 'merge_grouped', 'merge', 'union'],
                         help='coarse+fine compositor for eval renders: '
-                             'sort-free merge (4.5x cheaper) vs masked '
-                             'union; auto probes the serving compiler '
-                             'once (render/compositor_probe.py) because '
-                             'one libtpu build faults on the composed '
-                             'merge+Pallas eval graph')
+                             'two-level grouped merge (cheapest), '
+                             'sort-free pairwise merge, or masked union; '
+                             'auto probes the serving compiler once per '
+                             'candidate (render/compositor_probe.py) '
+                             'because one libtpu build faults on the '
+                             'composed merge+Pallas eval graph')
     parser.add_argument('--mega_routing', type=str, default='auto',
                         choices=['auto', 'dense', 'routed'],
                         help='merged-mixture evaluation strategy: dense '

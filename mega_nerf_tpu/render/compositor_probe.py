@@ -12,19 +12,23 @@ whether the serving compiler is affected.
 Policy implemented here (consulted once per process at first eval trace on
 a TPU backend, `rendering._inference`):
 
-1. `MEGA_NERF_TPU_EVAL_COMPOSITOR=merge|union` overrides everything.
+1. `MEGA_NERF_TPU_EVAL_COMPOSITOR=merge_grouped|merge|union` overrides
+   everything.
 2. Non-TPU backends always get the merge (the fault is an XLA:TPU lowering
-   bug; CPU/GPU lowerings are clean and the two compositors are
-   numerically identical — `tests/test_ops_compositing.py`).
-3. Known-bad compiler builds (`KNOWN_BAD_BUILDS`) get the union without
-   probing — probing them would crash the worker we are about to render
-   on, and a wedged worker can take an hour to heal.
-4. Anything else is probed ONCE: a guarded subprocess AOT-compiles the
-   composed eval graph (Pallas eval kernels + forced merge compositor at
-   a 16384-ray eval chunk, paper-scale 8x256 NeRF) with a wall-clock
-   budget. Exit 0 + sentinel => merge; crash/timeout => union. The verdict
-   is cached on disk keyed by the backend's `platform_version`, so each
-   serving compiler is probed exactly once per machine.
+   bug; CPU/GPU lowerings are clean and the compositors are numerically
+   identical — `tests/test_ops_compositing.py`).
+3. Candidates are tried in `EVAL_PREFERENCE` order; the first whose
+   COMPOSED eval graph the serving compiler can lower wins, union is the
+   always-works fallback. Known-bad (compositor, build) pairs
+   (`KNOWN_BAD_BUILDS`) are skipped without probing — probing them would
+   crash the worker we are about to render on, and a wedged worker can
+   take an hour to heal.
+4. Anything else is probed ONCE per (compositor, compiler build): a
+   guarded subprocess AOT-compiles the composed eval graph (Pallas eval
+   kernels + the forced compositor at a 16384-ray eval chunk, paper-scale
+   8x256 NeRF) with a wall-clock budget. Exit 0 + sentinel => usable;
+   crash/timeout => next candidate. Verdicts are cached on disk keyed by
+   the backend's `platform_version`.
 
 The reference never needs this machinery: its CUDA path sorts and gathers
 (`/root/reference/mega_nerf/rendering.py:336-350`); the compositor split is
@@ -42,10 +46,18 @@ from typing import Callable, Optional
 
 ENV_OVERRIDE = "MEGA_NERF_TPU_EVAL_COMPOSITOR"
 
-# Serving compilers with the composed merge+Pallas lowering fault, matched
-# as substrings of `backend.platform_version`. Bisected on hardware (v5e,
-# axon relay): eval image chunks crash the worker; train shapes are fine.
-KNOWN_BAD_BUILDS = ("cl/831091709",)
+# (compositor, build-substring) pairs with a composed-lowering fault on
+# the serving compiler, matched against `backend.platform_version`.
+# Bisected on hardware (v5e, axon relay): eval image chunks crash the
+# worker; train shapes are fine. The grouped merge is NOT listed for the
+# known-bad build: its lowering has no (N, Sa, Sb) fused broadcasts (the
+# faulting pattern), so it gets a real probe there.
+KNOWN_BAD_BUILDS = (("merge", "cl/831091709"),)
+
+# Probe order. The grouped merge leads: ~5x less VPU work than the
+# pairwise merge at eval shapes (ops/compositing.py) and the only
+# candidate with a chance on the known-bad build.
+EVAL_PREFERENCE = ("merge_grouped", "merge")
 
 # The full train step compiles in ~86 s on the same relay; the eval graph
 # is smaller but remote compile service queueing varies.
@@ -95,7 +107,7 @@ def _write_cache(path: Path, data: dict) -> None:
         pass  # cache is an optimization; never fail the render for it
 
 
-def _run_probe_subprocess(timeout: float) -> bool:
+def _run_probe_subprocess(timeout: float, compositor: str = "merge") -> bool:
     """AOT-compile the composed eval graph in a throwaway process.
 
     Compile-only (`jit(...).lower(...).compile()` on ShapeDtypeStructs):
@@ -110,7 +122,8 @@ def _run_probe_subprocess(timeout: float) -> bool:
     env["PYTHONPATH"] = repo_root + (os.pathsep + prev if prev else "")
     try:
         proc = subprocess.run(
-            [sys.executable, "-m", "mega_nerf_tpu.render.compositor_probe"],
+            [sys.executable, "-m", "mega_nerf_tpu.render.compositor_probe",
+             compositor],
             env=env,
             timeout=timeout,
             capture_output=True,
@@ -121,55 +134,69 @@ def _run_probe_subprocess(timeout: float) -> bool:
     return proc.returncode == 0 and _PROBE_SENTINEL in proc.stdout
 
 
-def merge_eval_ok(
+def eval_compositor_choice(
     *,
-    probe: Optional[Callable[[], bool]] = None,
+    probe: Optional[Callable[[str], bool]] = None,
     cache_path: Optional[Path] = None,
     version: Optional[str] = None,
-) -> bool:
-    """True if the eval render path may compile the merge compositor.
+) -> str:
+    """The compositor the eval render path should compile on this backend:
+    first `EVAL_PREFERENCE` entry the serving compiler can lower, else
+    "union".
 
     `probe`, `cache_path`, `version` are injection points for tests; the
     defaults probe the real backend with the subprocess runner."""
     forced = os.environ.get(ENV_OVERRIDE, "").strip().lower()
-    if forced in ("merge", "union"):
-        return forced == "merge"
+    if forced in ("merge_grouped", "merge", "union"):
+        return forced
 
     if not _is_tpu_backend():
-        return True
+        return "merge"
 
     key = version if version is not None else _platform_version()
     if key in _MEMO:
         return _MEMO[key]
 
-    if any(bad in key for bad in KNOWN_BAD_BUILDS):
-        _MEMO[key] = False
-        return False
-
     path = cache_path if cache_path is not None else _default_cache_path()
     cache = _read_cache(path)
-    if key in cache:
-        _MEMO[key] = bool(cache[key])
-        return _MEMO[key]
-
-    print(
-        "mega_nerf_tpu: probing whether the serving compiler can lower the "
-        "merge compositor composed with the eval kernels (once per "
-        f"compiler build; <= {PROBE_TIMEOUT_S:.0f}s) ..."
-    )
+    verdicts = cache.get(key, {})
+    if not isinstance(verdicts, dict):
+        # round-2 cache format: a single merge bool
+        verdicts = {"merge": bool(verdicts)}
     runner = probe if probe is not None else (
-        lambda: _run_probe_subprocess(PROBE_TIMEOUT_S)
+        lambda c: _run_probe_subprocess(PROBE_TIMEOUT_S, c)
     )
-    verdict = bool(runner())
-    print(
-        "mega_nerf_tpu: eval compositor = "
-        + ("merge (probe passed)" if verdict else "union (probe failed)")
-    )
-    cache = _read_cache(path)  # re-read: another process may have written
-    cache[key] = verdict
-    _write_cache(path, cache)
-    _MEMO[key] = verdict
-    return verdict
+
+    choice = "union"
+    dirty = False
+    for cand in EVAL_PREFERENCE:
+        if any(c == cand and bad in key for c, bad in KNOWN_BAD_BUILDS):
+            continue
+        if cand not in verdicts:
+            print(
+                f"mega_nerf_tpu: probing whether the serving compiler can "
+                f"lower the {cand} compositor composed with the eval "
+                f"kernels (once per compiler build; "
+                f"<= {PROBE_TIMEOUT_S:.0f}s) ..."
+            )
+            verdicts[cand] = bool(runner(cand))
+            dirty = True
+        if verdicts[cand]:
+            choice = cand
+            break
+
+    print(f"mega_nerf_tpu: eval compositor = {choice}")
+    if dirty:
+        cache = _read_cache(path)  # re-read: another process may have written
+        cache[key] = verdicts
+        _write_cache(path, cache)
+    _MEMO[key] = choice
+    return choice
+
+
+def merge_eval_ok(**kwargs) -> bool:
+    """Back-compat shim: True when the chosen compositor is a merge form."""
+    return eval_compositor_choice(**kwargs) != "union"
 
 
 def _probe_main() -> None:
@@ -194,10 +221,11 @@ def _probe_main() -> None:
         shifted_softplus=True,
     )
     bundle = make_nerf(hp, appearance_count=8)
+    compositor = sys.argv[1] if len(sys.argv) > 1 else "merge"
     settings = RenderSettings(
         coarse_samples=256,
         fine_samples=512,
-        eval_compositor="merge",  # the composition under test
+        eval_compositor=compositor,  # the composition under test
     )
     n_rays = 16384  # the image-chunk batch that triggers the known fault
 

@@ -42,6 +42,7 @@ from mega_nerf_tpu.models.factory import ModelBundle
 from mega_nerf_tpu.ops.compositing import (
     composite_weights,
     composite_weights_merge,
+    composite_weights_merge_grouped,
     composite_weights_union,
 )
 from mega_nerf_tpu.ops.geometry import depth2pts_outside, intersect_sphere
@@ -73,12 +74,13 @@ class RenderSettings:
     # train step 1.12x; True = always, even on CPU where the kernels run in
     # slow interpret mode (testing); False = XLA.
     use_pallas: Any = "auto"
-    # Coarse+fine compositor for the EVAL path: "merge" = sort-free
-    # two-sorted-lists merge (4.5x cheaper), "union" = O((Sa+Sb)^2) masked
-    # union, "auto" = merge where the serving compiler can lower it —
-    # decided once per compiler build by `render.compositor_probe`
-    # (a known-bad libtpu crashes on the composed graph; see _inference).
-    # Train always uses the merge (proven stable at train shapes).
+    # Coarse+fine compositor for the EVAL path: "merge_grouped" = two-level
+    # grouped cross terms (cheapest), "merge" = sort-free two-sorted-lists
+    # merge (4.5x cheaper than union), "union" = O((Sa+Sb)^2) masked union,
+    # "auto" = best candidate the serving compiler can lower — decided once
+    # per compiler build by `render.compositor_probe` (a known-bad libtpu
+    # crashes on the composed merge graph; see _inference). Train always
+    # uses the pairwise merge (proven stable at train shapes).
     eval_compositor: Any = "auto"
     get_depth: bool = False
     get_depth_variance: bool = False
@@ -341,14 +343,22 @@ def _inference(
         # version-gates the known-bad build and AOT-probes any other
         # serving compiler once (guarded subprocess, cached verdict).
         if train:
-            use_merge = settings.perturb <= 1.0
+            compositor = "merge" if settings.perturb <= 1.0 else "union"
         elif settings.eval_compositor == "auto":
-            from mega_nerf_tpu.render.compositor_probe import merge_eval_ok
+            from mega_nerf_tpu.render.compositor_probe import (
+                eval_compositor_choice,
+            )
 
-            use_merge = merge_eval_ok()
+            compositor = eval_compositor_choice()
         else:
-            use_merge = settings.eval_compositor == "merge"
-        if use_merge:
+            compositor = settings.eval_compositor
+        if compositor == "merge_grouped":
+            cw = composite_weights_merge_grouped(
+                z_vals, sigmas,
+                results["zvals_coarse"], results["raw_sigma_coarse"],
+                last_delta, flip=flip,
+            )
+        elif compositor == "merge":
             cw = composite_weights_merge(
                 z_vals, sigmas,
                 results["zvals_coarse"], results["raw_sigma_coarse"],
@@ -464,8 +474,14 @@ def _get_results(
         # ascending bins before building the sampling CDF.
         weights_c = jnp.flip(weights_c, axis=-1)
     perturb = settings.perturb if train else 0.0
+    # grouped bracketing: ~9x less VPU work (19% of eval device time at the
+    # paper config, PERF.md round-3 profile). Train keeps the proven dense
+    # reduces until the grouped einsum lowering is validated against the
+    # deployed compiler next to the fused custom-VJP train kernels — the
+    # driver's bench must never meet an unproven pattern first.
     fine_z_vals = sample_pdf(
-        z_vals_mid, weights_c, fine_samples, det=(perturb == 0), key=k_sample
+        z_vals_mid, weights_c, fine_samples, det=(perturb == 0), key=k_sample,
+        grouped=None if not train else False,
     )
     fine_z_vals = jax.lax.stop_gradient(fine_z_vals)
     if flip:

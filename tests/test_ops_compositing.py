@@ -152,3 +152,66 @@ def test_sample_cdf_random_mode_ascending():
     assert (np.diff(out, axis=-1) >= 0).all()
     assert (out >= np.asarray(bins)[:, :1]).all()
     assert (out <= np.asarray(bins)[:, -1:]).all()
+
+
+def test_merge_grouped_matches_merge():
+    """The two-level grouped cross terms reproduce the pairwise merge
+    compositor — flips, ties, non-dividing group sizes, and list lengths
+    spanning the paper config's 512+256 shape class."""
+    from mega_nerf_tpu.ops.compositing import (
+        composite_weights_merge,
+        composite_weights_merge_grouped,
+    )
+
+    rng = np.random.default_rng(5)
+    for sa, sb in ((8, 5), (40, 23), (64, 32)):
+        for flip in (False, True):
+            for ties in (False, True):
+                za, sa_, zb, sb_ = _sorted_lists(rng, 3, sa, sb, flip, ties)
+                last = jnp.asarray(
+                    rng.uniform(0.5, 2.0, (3,)).astype(np.float32)
+                )
+                want = composite_weights_merge(za, sa_, zb, sb_, last, flip=flip)
+                for group in (16, 7):
+                    got = composite_weights_merge_grouped(
+                        za, sa_, zb, sb_, last, flip=flip, group=group
+                    )
+                    np.testing.assert_allclose(
+                        np.asarray(got.weights), np.asarray(want.weights),
+                        rtol=2e-5, atol=1e-6,
+                        err_msg=f"sa={sa} sb={sb} flip={flip} ties={ties} "
+                                f"group={group}",
+                    )
+                    np.testing.assert_allclose(
+                        np.asarray(got.bg_lambda), np.asarray(want.bg_lambda),
+                        rtol=2e-5, atol=1e-10,
+                        err_msg=f"sa={sa} sb={sb} flip={flip} ties={ties} "
+                                f"group={group}",
+                    )
+
+
+def test_merge_grouped_gradients_match():
+    import jax
+
+    from mega_nerf_tpu.ops.compositing import (
+        composite_weights_merge,
+        composite_weights_merge_grouped,
+    )
+
+    rng = np.random.default_rng(6)
+    za, sa_, zb, sb_ = _sorted_lists(rng, 2, 6, 4, False)
+    last = jnp.asarray(np.float32([1.0, 1.5]))
+    probe = jnp.asarray(rng.normal(size=(2, 10)).astype(np.float32))
+
+    def mk(fn):
+        def loss(sa, sb):
+            cw = fn(za, sa, zb, sb, last)
+            return jnp.sum(cw.weights * probe) + jnp.sum(cw.bg_lambda)
+        return loss
+
+    g0 = jax.grad(mk(composite_weights_merge_grouped), argnums=(0, 1))(sa_, sb_)
+    g1 = jax.grad(mk(composite_weights_merge), argnums=(0, 1))(sa_, sb_)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )

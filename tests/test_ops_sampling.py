@@ -57,3 +57,53 @@ def test_sample_pdf_handles_zero_weights():
     w = jnp.zeros((n, s))
     out = sample_pdf(bins, w, 8, det=True, key=None)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def _random_sorted_cdf(key, n, s, duplicates=False):
+    w = jnp.abs(jax.random.normal(key, (n, s))) + 1e-3
+    if duplicates:
+        # zero out runs of bins -> duplicate cdf values (flat regions)
+        w = w * (jax.random.uniform(jax.random.key(7), (n, s)) > 0.4)
+    cdf = jnp.cumsum(w / jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-8), -1)
+    return jnp.concatenate([jnp.zeros((n, 1)), cdf], axis=-1)
+
+
+def test_bracket_grouped_matches_dense():
+    """The two-level grouped search is bit-identical to the full masked
+    reduce, including duplicate cdf values, u at the 0/1 endpoints, and
+    group sizes that do not divide the cdf length."""
+    from mega_nerf_tpu.ops.sampling import _bracket_dense, _bracket_grouped
+
+    for si, s in enumerate([65, 128, 257]):
+        n = 5
+        cdf = _random_sorted_cdf(jax.random.key(10 + si), n, s - 1,
+                                 duplicates=(si % 2 == 0))
+        bins = jnp.sort(jax.random.uniform(jax.random.key(20 + si), (n, s)),
+                        axis=-1) * 3.0 + 0.5
+        u = jnp.sort(jax.random.uniform(jax.random.key(30 + si), (n, 33)), -1)
+        # exact endpoints + values equal to interior cdf entries
+        u = u.at[:, 0].set(0.0).at[:, -1].set(1.0).at[:, 1].set(cdf[:, s // 2])
+        for group in (16, 32, 7):
+            got = _bracket_grouped(u, cdf, bins, group=group)
+            want = _bracket_dense(u, cdf, bins)
+            for a, b, name in zip(got, want,
+                                  ["cdf_lo", "cdf_hi", "bins_lo", "bins_hi"]):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b),
+                    err_msg=f"s={s} group={group} {name}")
+
+
+def test_sample_cdf_grouped_threshold_consistent():
+    """sample_cdf output is identical just below and above the grouped-path
+    size threshold when fed the same distribution shape."""
+    n = 3
+    for s in (63, 64, 200):  # 63 -> dense path, >=64 -> grouped path
+        # sample_cdf takes cdf WITHOUT the leading zero (it adds it) and
+        # bins with one more entry than cdf.
+        cdf = _random_sorted_cdf(jax.random.key(40 + s), n, s - 1)[:, 1:]
+        bins = jnp.linspace(0.5, 3.5, s)[None].repeat(n, 0)
+        out = sample_cdf(bins, cdf, 17, det=True, key=None)
+        out = np.asarray(out)
+        assert np.isfinite(out).all()
+        assert (np.diff(out, axis=-1) >= -1e-6).all()  # ascending guarantee
+        assert (out >= 0.5 - 1e-5).all() and (out <= 3.5 + 1e-5).all()

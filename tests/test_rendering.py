@@ -248,9 +248,13 @@ def test_eval_compositor_gated_by_probe(monkeypatch):
     assert c_merge == ["merge"]
     img_union, c_union = render(union)
     assert c_union == [], "forced union must not compile the merge"
-    # Both compositors produce the same picture (perturb=0 eval lists are
+    grouped = dataclasses.replace(auto, eval_compositor="merge_grouped")
+    img_grouped, c_grouped = render(grouped)
+    assert c_grouped == [], "forced grouped must not compile the pairwise merge"
+    # All compositors produce the same picture (perturb=0 eval lists are
     # sorted, the merge applies exactly).
     np.testing.assert_allclose(img_union, img_merge, atol=1e-6)
+    np.testing.assert_allclose(img_grouped, img_merge, atol=1e-5)
     np.testing.assert_array_equal(img_auto, img_merge)
 
     _, c_train = render(union, train=True, key=jax.random.key(1))
@@ -258,48 +262,90 @@ def test_eval_compositor_gated_by_probe(monkeypatch):
 
 
 def test_compositor_probe_policy(tmp_path, monkeypatch):
-    """merge_eval_ok: env override > backend > version gate > cached probe."""
+    """eval_compositor_choice: env override > backend > per-(compositor,
+    build) known-bad gate > per-candidate cached probe, in preference
+    order with union as the fallback."""
     from mega_nerf_tpu.render import compositor_probe as CP
 
     monkeypatch.setattr(CP, "_MEMO", {})
     cache = tmp_path / "probe.json"
 
     # CPU backend: merge without probing (a failing probe must not run).
-    def boom():
+    def boom(_c):
         raise AssertionError("probe must not run on CPU backends")
 
+    assert CP.eval_compositor_choice(probe=boom, cache_path=cache) == "merge"
     assert CP.merge_eval_ok(probe=boom, cache_path=cache) is True
 
     # Pretend we are on a TPU backend from here on.
     monkeypatch.setattr(CP, "_is_tpu_backend", lambda: True)
 
-    # Known-bad serving compiler: union, no probe, no cache write.
-    bad = f"axon tpu Built on Nov 12 2025 {CP.KNOWN_BAD_BUILDS[0]}"
-    assert CP.merge_eval_ok(probe=boom, cache_path=cache, version=bad) is False
-    assert not cache.exists()
+    # Known-bad serving compiler: the pairwise merge is never probed there,
+    # but the grouped merge (different lowering) gets a real probe.
+    bad_build = CP.KNOWN_BAD_BUILDS[0][1]
+    bad = f"axon tpu Built on Nov 12 2025 {bad_build}"
+    probed = []
 
-    # Unknown compiler: probed once, verdict cached on disk and memoized.
+    def probe_record_fail(c):
+        probed.append(c)
+        return False
+
+    monkeypatch.setattr(CP, "_MEMO", {})
+    assert CP.eval_compositor_choice(
+        probe=probe_record_fail, cache_path=cache, version=bad) == "union"
+    assert probed == ["merge_grouped"], "merge must be gated, not probed"
+
+    # ... and when the grouped probe passes on the known-bad build, it wins.
+    monkeypatch.setattr(CP, "_MEMO", {})
+    cache2 = tmp_path / "probe2.json"
+    assert CP.eval_compositor_choice(
+        probe=lambda c: True, cache_path=cache2, version=bad
+    ) == "merge_grouped"
+
+    # Unknown compiler: candidates probed in order, verdicts cached on disk.
     probes = []
 
-    def probe_ok():
-        probes.append(1)
-        return True
+    def probe_first_fails(c):
+        probes.append(c)
+        return c != "merge_grouped"
 
     v = "axon tpu cl/999"
-    assert CP.merge_eval_ok(probe=probe_ok, cache_path=cache, version=v) is True
-    assert probes == [1] and cache.exists()
+    monkeypatch.setattr(CP, "_MEMO", {})
+    cache3 = tmp_path / "probe3.json"
+    assert CP.eval_compositor_choice(
+        probe=probe_first_fails, cache_path=cache3, version=v) == "merge"
+    assert probes == ["merge_grouped", "merge"] and cache3.exists()
     monkeypatch.setattr(CP, "_MEMO", {})  # fresh process -> disk cache hit
-    assert CP.merge_eval_ok(probe=boom, cache_path=cache, version=v) is True
+    assert CP.eval_compositor_choice(
+        probe=boom, cache_path=cache3, version=v) == "merge"
+    assert CP.merge_eval_ok(probe=boom, cache_path=cache3, version=v) is True
 
-    # A failing probe pins union for that build.
+    # All candidates failing pins union for that build.
     monkeypatch.setattr(CP, "_MEMO", {})
     v2 = "axon tpu cl/1000"
-    assert CP.merge_eval_ok(probe=lambda: False, cache_path=cache,
-                            version=v2) is False
-    assert CP.merge_eval_ok(probe=boom, cache_path=cache, version=v2) is False
+    assert CP.eval_compositor_choice(
+        probe=lambda c: False, cache_path=cache3, version=v2) == "union"
+    assert CP.eval_compositor_choice(
+        probe=boom, cache_path=cache3, version=v2) == "union"
+    assert CP.merge_eval_ok(probe=boom, cache_path=cache3, version=v2) is False
 
-    # Env override beats everything, both directions.
+    # A round-2 cache (bare merge bool) is upgraded, not crashed on.
+    import json
+    cache4 = tmp_path / "probe4.json"
+    cache4.write_text(json.dumps({v: True}))
+    monkeypatch.setattr(CP, "_MEMO", {})
+    assert CP.eval_compositor_choice(
+        probe=lambda c: c == "merge_grouped", cache_path=cache4, version=v
+    ) == "merge_grouped"
+
+    # Env override beats everything, all three values.
+    monkeypatch.setattr(CP, "_MEMO", {})
     monkeypatch.setenv(CP.ENV_OVERRIDE, "merge")
-    assert CP.merge_eval_ok(probe=boom, cache_path=cache, version=bad) is True
+    assert CP.eval_compositor_choice(
+        probe=boom, cache_path=cache, version=bad) == "merge"
+    monkeypatch.setenv(CP.ENV_OVERRIDE, "merge_grouped")
+    assert CP.eval_compositor_choice(
+        probe=boom, cache_path=cache, version=v) == "merge_grouped"
     monkeypatch.setenv(CP.ENV_OVERRIDE, "union")
     assert CP.merge_eval_ok(probe=boom, cache_path=cache, version=v) is False
+
