@@ -15,8 +15,10 @@ hangs. Structure (the round-2 bench timed out because the fused-Pallas
 train-step compile can hang on some libtpu builds, so every device-touching
 stage runs in its own watchdogged subprocess):
 
-  1. health probe: chained matmuls, 60 s budget. Fails -> report path
-     "tpu-unavailable" with value 0 rather than hanging the driver.
+  1. health probe: chained matmuls, 60 s budget, retried (the relay has
+     transient stalls that clear in minutes). All attempts failing ->
+     report path "tpu-unavailable" with value 0 rather than hanging the
+     driver.
   2. XLA-path bench (use_pallas=False): the compile that has never hung
      here. Its number is banked before anything riskier runs.
   3. Pallas-path bench (use_pallas="auto", the default train path): tried
@@ -39,7 +41,10 @@ import time
 REFERENCE_RAYS_PER_SEC_PER_GPU = 740.0
 
 HEALTH_TIMEOUT_S = 60
-XLA_TIMEOUT_S = 180  # fresh-compile of the XLA train step measured ~100-160s
+HEALTH_RETRIES = 3  # transient relay stalls: a probe that timed out at
+                    # 120 s passed in 1.8 s two minutes later (observed)
+HEALTH_RETRY_SLEEP_S = 25
+XLA_TIMEOUT_S = 200  # fresh-compile of the XLA train step measured ~100-160s
 PALLAS_TIMEOUT_S = 160  # fused-kernel compile measured ~87s fresh
 RESULT_TAG = "BENCH_RESULT "
 
@@ -206,8 +211,14 @@ def main() -> None:
         _child_bench(use_pallas="auto")
         return
 
-    health, note = _run_child("health", HEALTH_TIMEOUT_S)
-    print(f"[bench] {note}", flush=True)
+    health = None
+    for attempt in range(HEALTH_RETRIES):
+        health, note = _run_child("health", HEALTH_TIMEOUT_S)
+        print(f"[bench] {note}", flush=True)
+        if health is not None:
+            break
+        if attempt + 1 < HEALTH_RETRIES:
+            time.sleep(HEALTH_RETRY_SLEEP_S)
     if health is None:
         # Worker wedged or backend broken: report honestly instead of
         # hanging until the driver's timeout.

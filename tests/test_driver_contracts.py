@@ -7,6 +7,7 @@ external evidence, so each is exercised here on the CPU backend (the
 conftest's 8-device virtual mesh) before the driver ever sees it.
 """
 
+import json
 import sys
 from pathlib import Path
 
@@ -64,3 +65,43 @@ def test_bench_parent_emits_json_line(capsys):
     assert parsed["unit"] == "rays/s"
     assert parsed["value"] == 1234.5
     assert parsed["vs_baseline"] == round(1234.5 / 740.0, 3)
+
+
+def test_bench_parent_health_retries(capsys, monkeypatch):
+    # A transient relay stall (observed: a probe that timed out at 120 s
+    # passed 2 min later) must not produce "tpu-unavailable": the health
+    # stage retries before giving up, and a late success proceeds to the
+    # bench stages.
+    monkeypatch.setattr(bench, "HEALTH_RETRY_SLEEP_S", 0)
+    calls = []
+
+    def fake_run_child(mode, timeout_s):
+        calls.append(mode)
+        if mode == "health":
+            # first attempt stalls, second succeeds
+            if calls.count("health") == 1:
+                return None, "health: timed out after 60s"
+            return {"ok": True}, "health: ok in 2s"
+        if mode == "xla":
+            return {"rays_per_sec": 100.0}, "xla: ok"
+        return None, "pallas: timed out"
+
+    monkeypatch.setattr(bench, "_run_child", fake_run_child)
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    parsed = json.loads(out[-1])
+    assert calls.count("health") == 2
+    assert parsed["value"] == 100.0 and parsed["path"] == "xla"
+
+    # All health attempts failing -> honest zero, no bench stages run.
+    calls.clear()
+    monkeypatch.setattr(
+        bench, "_run_child",
+        lambda mode, t: (calls.append(mode), (None, f"{mode}: timeout"))[1],
+    )
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    parsed = json.loads(out[-1])
+    assert parsed["value"] == 0.0 and parsed["path"] == "tpu-unavailable"
+    assert calls == ["health"] * bench.HEALTH_RETRIES
