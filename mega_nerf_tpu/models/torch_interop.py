@@ -105,3 +105,75 @@ def appearance_count_from_state(state: Dict[str, np.ndarray]) -> int:
         if key in state:
             return int(np.asarray(state[key]).shape[0])
     return 0
+
+
+def adam_state_from_torch_opt(
+    cfg: NeRFConfig,
+    param_names: List[str],
+    torch_opt: Dict,
+    template_opt_state,
+    cascade: bool = False,
+):
+    """Reference torch Adam `state_dict()` -> optax opt state.
+
+    The reference checkpoints `checkpoint['optimizers']['nerf'|'bg_nerf']`
+    (reference `runner.py:519-538`, loaded at `runner.py:181-184`). Torch
+    keys moments by PARAM INDEX in `model.parameters()` order, which equals
+    the state-dict key order for the reference NeRF (it registers no
+    buffers) — so `param_names` (the checkpoint's model_state_dict keys,
+    `module.` prefix stripped) positionally names each moment entry, and
+    the same name->Flax-tree conversion used for weights transposes
+    exp_avg/exp_avg_sq into mu/nu (moments share their param's layout).
+
+    `template_opt_state` must come from `optimizer.init(params)` for the
+    matching architecture; its ScaleByAdamState is replaced with the
+    imported count/mu/nu and any schedule counts are set to the Adam step
+    so the per-step exponential LR decay resumes where the reference job
+    left off. Non-transferable remainder of the reference training state:
+    the torch/numpy/python RNG triple (reference `runner.py:526-528`) has
+    no jax equivalent — resumed runs draw fresh sample jitter.
+    """
+    import jax.numpy as jnp
+    import optax
+
+    indices: List[int] = []
+    for group in torch_opt.get("param_groups", []):
+        indices.extend(int(i) for i in group.get("params", []))
+    state = torch_opt.get("state", {})
+
+    exp_avg: Dict[str, np.ndarray] = {}
+    exp_avg_sq: Dict[str, np.ndarray] = {}
+    steps: List[int] = []
+    for pos, idx in enumerate(indices):
+        if pos >= len(param_names):
+            raise ValueError(
+                f"torch optimizer has {len(indices)} params but the model "
+                f"state dict only names {len(param_names)}"
+            )
+        name = param_names[pos]
+        entry = state.get(idx, state.get(str(idx)))
+        if entry is None:
+            raise ValueError(
+                f"torch optimizer state missing param {idx} ({name}) — "
+                "was this checkpoint saved before any optimizer step?"
+            )
+        exp_avg[name] = np.asarray(entry["exp_avg"], np.float32)
+        exp_avg_sq[name] = np.asarray(entry["exp_avg_sq"], np.float32)
+        steps.append(int(np.asarray(entry["step"]).item()))
+
+    count = jnp.asarray(max(steps) if steps else 0, jnp.int32)
+    mu = flax_params_from_torch_state(cfg, exp_avg, cascade)
+    nu = flax_params_from_torch_state(cfg, exp_avg_sq, cascade)
+
+    def convert(element):
+        if isinstance(element, optax.ScaleByAdamState):
+            return element._replace(count=count, mu=mu, nu=nu)
+        if isinstance(element, optax.ScaleByScheduleState):
+            return element._replace(count=count)
+        return element
+
+    if isinstance(template_opt_state, tuple) and not hasattr(
+        template_opt_state, "_fields"
+    ):
+        return tuple(convert(e) for e in template_opt_state)
+    return convert(template_opt_state)

@@ -464,9 +464,13 @@ class Runner:
     ) -> Tuple[TrainState, Dict]:
         """Restore a checkpoint into `state` — ours (MNTPU001: params,
         optimizer, RNG, stream position) or a reference torch training
-        checkpoint (`{iter}.pt`, reference `runner.py:519-538`: weights and
-        iteration import; torch Adam moments and torch RNG states do not
-        transfer). Makes BASELINE.md's parity procedure one command:
+        checkpoint (`{iter}.pt`, reference `runner.py:519-538`: weights,
+        iteration, AND torch Adam moments
+        (`checkpoint['optimizers']['nerf'|'bg_nerf']` -> optax mu/nu/count,
+        so a mid-run reference job hands off without an optimizer cold
+        restart). The torch RNG triple (reference `runner.py:526-528`) has
+        no jax equivalent and does not transfer — resumed runs draw fresh
+        sample jitter. Makes BASELINE.md's parity procedure one command:
         `eval.py --ckpt_path <reference>.pt`."""
         path = Path(path)
         if ckpt_io.is_native_checkpoint(path):
@@ -474,6 +478,7 @@ class Runner:
 
         from mega_nerf_tpu.models.factory import nerf_config_from_hparams
         from mega_nerf_tpu.models.torch_interop import (
+            adam_state_from_torch_opt,
             appearance_count_from_state,
             flax_params_from_torch_state,
             strip_module_prefix,
@@ -503,11 +508,39 @@ class Runner:
             self._check_params_match(state.bg_params, bg_params, "bg", path)
 
         state = state.replace(fg_params=fg_params, bg_params=bg_params)
+
+        imported_opt = []
+        torch_opts = loaded.get("optimizers", {})
+        if "nerf" in torch_opts:
+            state = state.replace(fg_opt=adam_state_from_torch_opt(
+                fg_cfg, list(fg_state.keys()), torch_opts["nerf"],
+                state.fg_opt, hp.use_cascade,
+            ))
+            imported_opt.append("nerf")
+        if (
+            "bg_nerf" in torch_opts
+            and "bg_model_state_dict" in loaded
+            and self.bg is not None
+            and state.bg_opt is not None
+        ):
+            state = state.replace(bg_opt=adam_state_from_torch_opt(
+                bg_cfg, list(bg_state.keys()), torch_opts["bg_nerf"],
+                state.bg_opt, hp.use_cascade,
+            ))
+            imported_opt.append("bg_nerf")
+
         aux = {
             "iteration": int(loaded.get("iteration", 0)),
             "dataset_state": {},
         }
-        main_print(f"Imported reference torch checkpoint {path}")
+        opt_note = (
+            f", Adam moments for {'+'.join(imported_opt)}"
+            if imported_opt else ""
+        )
+        main_print(
+            f"Imported reference torch checkpoint {path} (weights"
+            f"{opt_note}; torch RNG state does not transfer)"
+        )
         return state, aux
 
     @staticmethod

@@ -243,3 +243,76 @@ def test_eval_params_cache_keyed_on_object_identity(trained):
     placed_b = runner._eval_params(state_b)
     assert placed_b is not placed_a  # distinct object -> fresh placement
     assert runner._eval_params_cache[0] is state_b
+
+
+def test_reference_torch_adam_moment_import(trained, tmp_path):
+    """The reference checkpoint's torch Adam state
+    (`checkpoint['optimizers']`, reference `runner.py:519-538`) imports
+    into the optax optimizer: mu/nu round-trip through torch's (out, in)
+    layouts and the step count drives both Adam bias correction and the
+    per-step exponential LR schedule."""
+    import jax
+    import optax
+
+    from mega_nerf_tpu.data.torch_io import save_pt
+    from mega_nerf_tpu.models.factory import nerf_config_from_hparams
+    from mega_nerf_tpu.models.torch_interop import torch_state_from_flax_params
+    from mega_nerf_tpu.runtime.runner import Runner as R
+
+    root, ds, hp, runner = trained
+    fg_params = jax.device_get(runner.final_state.fg_params)
+    appearance_count = len(runner.train_items)
+    cfg = nerf_config_from_hparams(hp, appearance_count, hp.layer_dim, 3)
+    torch_state = torch_state_from_flax_params(cfg, fg_params, hp.use_cascade)
+
+    # Known moment trees: mu = 2*param, nu = 3*param^2 (any recognizable
+    # function of the param works — we only assert the round-trip).
+    mu_ref = jax.tree.map(lambda x: 2.0 * np.asarray(x), fg_params)
+    nu_ref = jax.tree.map(lambda x: 3.0 * np.asarray(x) ** 2, fg_params)
+    mu_torch = torch_state_from_flax_params(cfg, mu_ref, hp.use_cascade)
+    nu_torch = torch_state_from_flax_params(cfg, nu_ref, hp.use_cascade)
+    names = list(torch_state.keys())
+    opt_state = {
+        "state": {
+            i: {
+                "step": 1234,
+                "exp_avg": mu_torch[n],
+                "exp_avg_sq": nu_torch[n],
+            }
+            for i, n in enumerate(names)
+        },
+        "param_groups": [
+            {"lr": hp.lr, "params": list(range(len(names)))}
+        ],
+    }
+    ref_ckpt = tmp_path / "1234.pt"
+    save_pt(
+        {
+            "model_state_dict": {
+                f"module.{k}": v for k, v in torch_state.items()
+            },
+            "optimizers": {"nerf": opt_state},
+            "iteration": 1234,
+        },
+        ref_ckpt,
+    )
+
+    eval_hp = tiny_train_hparams(
+        ds, tmp_path / "adam_import", ckpt_path=str(ref_ckpt)
+    )
+    r2 = R(eval_hp)
+    state = r2.make_eval_state()
+
+    adam = [
+        s for s in state.fg_opt if isinstance(s, optax.ScaleByAdamState)
+    ]
+    sched = [
+        s for s in state.fg_opt if isinstance(s, optax.ScaleByScheduleState)
+    ]
+    assert adam and sched
+    assert int(adam[0].count) == 1234
+    assert int(sched[0].count) == 1234
+    for got, want in zip(jax.tree.leaves(adam[0].mu), jax.tree.leaves(mu_ref)):
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+    for got, want in zip(jax.tree.leaves(adam[0].nu), jax.tree.leaves(nu_ref)):
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
