@@ -176,6 +176,31 @@ def _pallas_eval(bundle, params, flat_xyz, dirs, app_embed,
     return out[:m]
 
 
+def _pallas_gate(
+    bundle: ModelBundle, settings: RenderSettings, train: bool
+) -> Tuple[bool, str]:
+    """Would this bundle's MLP passes compile to the fused Pallas kernels?
+
+    "auto" engages only where Mosaic compiles natively; on CPU the
+    kernels would run in (slow) interpret mode, so fall back to XLA
+    there unless explicitly forced with use_pallas=True. The verdict is
+    static per compiled fn (all inputs are trace-time constants), so the
+    compositor gate below can rely on it.
+    """
+    if not settings.use_pallas:
+        return False, "disabled (--no_pallas)"
+    if settings.use_pallas != True and jax.default_backend() != "tpu":  # noqa: E712
+        return False, f"non-TPU backend ({jax.default_backend()})"
+    if settings.sh_deg is not None:
+        return False, "SH output head"
+    if not _supports_fused(bundle, train=train):
+        return False, (
+            "architecture outside kernel coverage (mega mixture, affine "
+            "appearance, or layer_dim gate — see pallas_mlp.supports_fused_kernels)"
+        )
+    return True, ""
+
+
 def _model_eval(
     bundle: ModelBundle,
     params,
@@ -209,22 +234,7 @@ def _model_eval(
         # (n*s, 128)-tiled on TPU, which made the RNG alone ~3 ms/step.
         sigma_noise = jax.random.uniform(key, (n * s,))
 
-    # "auto" engages only where Mosaic compiles natively; on CPU the
-    # kernels would run in (slow) interpret mode, so fall back to XLA
-    # there unless explicitly forced with use_pallas=True.
-    if not settings.use_pallas:
-        pallas_ok, why = False, "disabled (--no_pallas)"
-    elif settings.use_pallas != True and jax.default_backend() != "tpu":  # noqa: E712
-        pallas_ok, why = False, f"non-TPU backend ({jax.default_backend()})"
-    elif settings.sh_deg is not None:
-        pallas_ok, why = False, "SH output head"
-    elif not _supports_fused(bundle, train=train):
-        pallas_ok, why = False, (
-            "architecture outside kernel coverage (mega mixture, affine "
-            "appearance, or layer_dim gate — see pallas_mlp.supports_fused_kernels)"
-        )
-    else:
-        pallas_ok, why = True, ""
+    pallas_ok, why = _pallas_gate(bundle, settings, train)
     # Trace-time, once per distinct path: a user benchmarking a config that
     # silently fell back to XLA would otherwise report "Pallas" numbers that
     # aren't (the gates are static, so this is exact for the compiled fn).
@@ -552,6 +562,21 @@ def render_rays(
     n_rays = rays.shape[0]
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
     near, far = rays[:, 6:7], rays[:, 7:8]
+
+    if not train and settings.eval_compositor == "auto":
+        # The known compiler fault only bites when the merge compositor is
+        # COMPOSED with the Pallas kernels' custom calls (the identical
+        # reduces pass with the XLA MLP path — bisected, PERF.md). When no
+        # pass in this graph engages the kernels (mega mixtures, SH heads,
+        # CPU, --no_pallas), take the cheap pairwise merge outright instead
+        # of consulting the probe: merged-model eval — the flagship
+        # workflow — gets the 4.5x cheaper compositor on every compiler.
+        pallas_anywhere = any(
+            _pallas_gate(b, settings, train=False)[0]
+            for b in (fg, bg) if b is not None
+        )
+        if not pallas_anywhere:
+            settings = dataclasses.replace(settings, eval_compositor="merge")
 
     perturb = settings.perturb if train else 0.0
     k_fg = k_fg_perturb = k_bg = k_bg_perturb = None
