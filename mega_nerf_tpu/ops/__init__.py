@@ -11,6 +11,7 @@ from mega_nerf_tpu.ops.sampling import expand_and_perturb_z_vals, sample_pdf, sa
 from mega_nerf_tpu.ops.compositing import (
     composite_weights,
     composite_weights_merge,
+    composite_weights_merge_grouped,
     composite_weights_union,
 )
 from mega_nerf_tpu.ops.geometry import intersect_sphere, depth2pts_outside
@@ -25,6 +26,7 @@ __all__ = [
     "sample_cdf",
     "composite_weights",
     "composite_weights_merge",
+    "composite_weights_merge_grouped",
     "composite_weights_union",
     "intersect_sphere",
     "depth2pts_outside",

@@ -153,6 +153,16 @@ class Runner:
     _cell_parallel = False
 
     def __init__(self, hparams: Namespace, set_experiment_path: bool = True):
+        # SIGUSR1 -> dump all Python thread stacks (reference `runner.py:40`):
+        # the way to see where a run is stuck — device RPCs can hang for an
+        # hour when a TPU worker wedges — WITHOUT killing it (a process with
+        # no handler dies on USR1, taking its unsaved training state along).
+        import faulthandler
+        import signal
+
+        if hasattr(signal, "SIGUSR1") and hasattr(faulthandler, "register"):
+            faulthandler.register(signal.SIGUSR1)
+
         self.hparams = hparams
         self.is_master = is_master()
 
