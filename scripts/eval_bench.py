@@ -39,6 +39,13 @@ def main() -> None:
     ap.add_argument("--fine_samples", type=int, default=512)
     ap.add_argument("--profile", type=str, default=None,
                     help="capture a jax.profiler trace of the timed loop")
+    ap.add_argument("--compositor", type=str, default="auto",
+                    choices=["auto", "merge_grouped", "merge", "union"],
+                    help="force the coarse+fine eval compositor (auto = "
+                         "compositor_probe choice)")
+    ap.add_argument("--dense_cdf", action="store_true",
+                    help="A/B: force the dense inverse-CDF bracketing "
+                         "(default: grouped two-level at eval sizes)")
     args = ap.parse_args()
 
     import jax
@@ -100,7 +107,18 @@ def main() -> None:
         coarse_samples=args.coarse_samples,
         fine_samples=args.fine_samples,
         use_pallas=False if args.xla else "auto",
+        eval_compositor=args.compositor,
     )
+    if args.dense_cdf:
+        import functools
+
+        from mega_nerf_tpu.ops import sampling as _sampling
+        from mega_nerf_tpu.render import rendering as _rendering
+
+        forced = functools.partial(_sampling.sample_pdf, grouped=False)
+        _rendering.sample_pdf = lambda *a, **k: forced(
+            *a, **{kk: vv for kk, vv in k.items() if kk != "grouped"}
+        )
 
     def step(rays_in):
         results, _ = render_rays(
@@ -137,6 +155,8 @@ def main() -> None:
         "rays": n,
         "iters": args.iters,
         "path": "xla" if args.xla else "pallas-auto",
+        "compositor": args.compositor,
+        "cdf": "dense" if args.dense_cdf else "grouped-auto",
         "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(),
     }))
