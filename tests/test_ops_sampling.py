@@ -107,3 +107,28 @@ def test_sample_cdf_grouped_threshold_consistent():
         assert np.isfinite(out).all()
         assert (np.diff(out, axis=-1) >= -1e-6).all()  # ascending guarantee
         assert (out >= 0.5 - 1e-5).all() and (out <= 3.5 + 1e-5).all()
+
+
+def test_bracket_grouped_paper_shape_fuzz():
+    """Bit-equality at the real eval shape class (cdf 257 entries, 512
+    draws, sorted uniforms like the random path) over several seeds."""
+    from mega_nerf_tpu.ops.sampling import _bracket_dense, _bracket_grouped
+
+    for seed in range(3):
+        n, s, fs = 4, 257, 512
+        cdf = _random_sorted_cdf(jax.random.key(seed), n, s - 1,
+                                 duplicates=(seed == 1))
+        bins = jnp.cumsum(
+            jax.random.uniform(jax.random.key(100 + seed), (n, s)) * 0.01
+            + 1e-4, axis=-1,
+        ) + 0.5
+        e = -jnp.log1p(-jax.random.uniform(jax.random.key(200 + seed),
+                                           (n, fs + 1)))
+        t = jnp.cumsum(e, -1)
+        u = t[:, :-1] / t[:, -1:]
+        got = _bracket_grouped(u, cdf, bins)
+        want = _bracket_dense(u, cdf, bins)
+        for a, b, name in zip(got, want,
+                              ["cdf_lo", "cdf_hi", "bins_lo", "bins_hi"]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"seed={seed} {name}")
