@@ -179,25 +179,28 @@ def _cross_terms_grouped(
         jnp.sum(full.astype(jnp.int32), axis=-1), num_groups - 1
     )
 
+    # ONE one-hot, ONE stacked select: the (N, Q, G) one-hot is a dot
+    # operand (it materializes), so every per-group payload rides the same
+    # einsum — the key block, the log_t block, the exclusive group-prefix
+    # sum, and the next group's min key SHIFTED so the sentinel lands
+    # where gi+1 would be out of range.
     hp = jax.lax.Precision.HIGHEST
     oh = (jnp.arange(num_groups) == gi[..., None]).astype(keys.dtype)
-    sel_k = jnp.einsum("nqG,nGk->nqk", oh, k_blk, precision=hp)
-    sel_lt = jnp.einsum("nqG,nGk->nqk", oh, lt_blk, precision=hp)
-    m = pred(sel_k, q[:, :, None])  # (N, Q, g)
-
     group_sums = jnp.sum(lt_blk, axis=-1)  # (N, G)
     excl = jnp.cumsum(group_sums, axis=-1) - group_sums
-    prefix_sum = jnp.einsum("nqG,nG->nq", oh, excl, precision=hp) + jnp.sum(
-        jnp.where(m, sel_lt, 0.0), axis=-1
+    next_min = jnp.concatenate(
+        [gmin[:, 1:], jnp.full_like(gmin[:, :1], big)], axis=-1
     )
+    payload = jnp.concatenate(
+        [k_blk, lt_blk, jnp.stack([excl, next_min], axis=-1)], axis=-1
+    )  # (N, G, 2g + 2)
+    sel = jnp.einsum("nqG,nGk->nqk", oh, payload, precision=hp)
+    sel_k, sel_lt = sel[..., :g], sel[..., g:2 * g]
+    group_prefix, next_group = sel[..., 2 * g], sel[..., 2 * g + 1]
 
+    m = pred(sel_k, q[:, :, None])  # (N, Q, g)
+    prefix_sum = group_prefix + jnp.sum(jnp.where(m, sel_lt, 0.0), axis=-1)
     next_within = jnp.min(jnp.where(m, big, sel_k), axis=-1)
-    oh_next = (jnp.arange(num_groups) == (gi + 1)[..., None]).astype(keys.dtype)
-    next_group = jnp.where(
-        gi + 1 < num_groups,
-        jnp.einsum("nqG,nG->nq", oh_next, gmin, precision=hp),
-        big,
-    )
     return jnp.minimum(next_within, next_group), prefix_sum
 
 

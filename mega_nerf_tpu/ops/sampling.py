@@ -95,43 +95,54 @@ def _bracket_grouped(
     )
     gi = jnp.minimum(gi, num_groups - 1)  # u past every group max
 
-    # Level 2: block select by one-hot matmul (no row gathers on TPU). The
-    # one-hot is exact in any dtype; HIGHEST precision keeps the f32
-    # payload un-truncated (default TPU dots round f32 inputs to bf16).
+    # Level 2: ONE one-hot, ONE stacked select (no row gathers on TPU).
+    # The one-hot is a (N, fs, G) dot operand, so it materializes — build
+    # it once and read it once by stacking every payload the bracket
+    # needs along the last axis: the cdf block, the bins block, and the
+    # group-level bracket candidates. Those candidates — the last
+    # fully-prefix group's max (bracket lo when the block's first element
+    # already exceeds u) and the first fully-suffix group's min (bracket
+    # hi when the block is all prefix) — become SHIFTED per-group arrays
+    # (prev-max, next-min) so the same oh selects them, sentinels landing
+    # exactly where gi-1 / gi+1 would be out of range. The one-hot is
+    # exact in any dtype; HIGHEST precision keeps the f32 payload
+    # un-truncated (default TPU dots round f32 inputs to bf16).
     oh = (jnp.arange(num_groups) == gi[..., None]).astype(cdf.dtype)
-    sel_cdf = jnp.einsum(
-        "nfG,nGk->nfk", oh, cdf_blocks, precision=jax.lax.Precision.HIGHEST
+    prev_max_cdf = jnp.concatenate(
+        [jnp.full_like(gmax_cdf[:, :1], neg), gmax_cdf[:, :-1]], axis=-1
     )
-    sel_bins = jnp.einsum(
-        "nfG,nGk->nfk", oh, bins_blocks, precision=jax.lax.Precision.HIGHEST
+    prev_max_bins = jnp.concatenate(
+        [jnp.full_like(gmax_bins[:, :1], neg), gmax_bins[:, :-1]], axis=-1
     )
+    next_min_cdf = jnp.concatenate(
+        [gmin_cdf[:, 1:], jnp.full_like(gmin_cdf[:, :1], big)], axis=-1
+    )
+    next_min_bins = jnp.concatenate(
+        [gmin_bins[:, 1:], jnp.full_like(gmin_bins[:, :1], big)], axis=-1
+    )
+    payload = jnp.concatenate(
+        [
+            cdf_blocks,
+            bins_blocks,
+            jnp.stack(
+                [prev_max_cdf, prev_max_bins, next_min_cdf, next_min_bins],
+                axis=-1,
+            ),
+        ],
+        axis=-1,
+    )  # (N, G, 2g + 4)
+    sel = jnp.einsum(
+        "nfG,nGk->nfk", oh, payload, precision=jax.lax.Precision.HIGHEST
+    )
+    sel_cdf, sel_bins = sel[..., :g], sel[..., g:2 * g]
+    glo_cdf, glo_bins = sel[..., 2 * g], sel[..., 2 * g + 1]
+    ghi_cdf, ghi_bins = sel[..., 2 * g + 2], sel[..., 2 * g + 3]
+
     m = sel_cdf <= u[:, :, None]  # (N, fs, g)
     lo_cdf_w = jnp.max(jnp.where(m, sel_cdf, neg), axis=-1)
     hi_cdf_w = jnp.min(jnp.where(m, big, sel_cdf), axis=-1)
     lo_bins_w = jnp.max(jnp.where(m, sel_bins, neg), axis=-1)
     hi_bins_w = jnp.min(jnp.where(m, big, sel_bins), axis=-1)
-
-    # Group-level candidates: the last fully-prefix group's max (bracket
-    # lo when the block's first element already exceeds u) and the first
-    # fully-suffix group's min (bracket hi when the block is all prefix).
-    oh_prev = (jnp.arange(num_groups) == (gi - 1)[..., None]).astype(cdf.dtype)
-    oh_next = (jnp.arange(num_groups) == (gi + 1)[..., None]).astype(cdf.dtype)
-    hp = jax.lax.Precision.HIGHEST
-    glo_cdf = jnp.where(
-        gi > 0, jnp.einsum("nfG,nG->nf", oh_prev, gmax_cdf, precision=hp), neg
-    )
-    glo_bins = jnp.where(
-        gi > 0, jnp.einsum("nfG,nG->nf", oh_prev, gmax_bins, precision=hp), neg
-    )
-    in_range = gi + 1 < num_groups
-    ghi_cdf = jnp.where(
-        in_range,
-        jnp.einsum("nfG,nG->nf", oh_next, gmin_cdf, precision=hp), big
-    )
-    ghi_bins = jnp.where(
-        in_range,
-        jnp.einsum("nfG,nG->nf", oh_next, gmin_bins, precision=hp), big
-    )
 
     return (
         jnp.maximum(lo_cdf_w, glo_cdf),
