@@ -52,6 +52,15 @@ def main() -> None:
                          "held-out angles — the reference's real scenes have "
                          "1000+ images per 8-cell split")
     ap.add_argument("--n_val", type=int, default=2)
+    ap.add_argument("--scene", type=str, default="ring",
+                    choices=["ring", "drone"],
+                    help="synthetic scene: 'ring' = orbiting cameras around "
+                         "two balls (the original toy); 'drone' = ground "
+                         "plane + box buildings under a jittered oblique "
+                         "camera lattice — the geometry the reference's "
+                         "drone scenes (Mill 19 etc.) actually have, and "
+                         "the honest setting for a 4x2 ground-footprint "
+                         "cell split")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny model/scene: wiring check on CPU")
     ap.add_argument("--bake", action="store_true",
@@ -87,7 +96,8 @@ def main() -> None:
     # exist, so a changed --grid/--hw/--smoke would otherwise be ignored.
     stamp_path = work / "scene_config.json"
     stamp = {"grid": list(args.grid), "hw": args.hw, "smoke": bool(args.smoke),
-             "n_train": args.n_train, "n_val": args.n_val}
+             "n_train": args.n_train, "n_val": args.n_val,
+             "scene": args.scene}
     if stamp_path.exists():
         old = json.loads(stamp_path.read_text())
         if old != stamp:
@@ -100,13 +110,17 @@ def main() -> None:
         stamp_path.write_text(json.dumps(stamp))
 
     # --- 1. synthetic scene (reference dataset layout, SURVEY §2.6) ---
-    from tests.synthetic import make_synthetic_dataset
+    from tests.synthetic import make_drone_dataset, make_synthetic_dataset
 
     ds = work / "ds"
     if not (ds / "coordinates.pt").exists():
         print("building synthetic dataset...")
-        make_synthetic_dataset(ds, n_train=args.n_train, n_val=args.n_val,
+        if args.scene == "drone":
+            make_drone_dataset(ds, n_train=args.n_train, n_val=args.n_val,
                                hw=(args.hw, args.hw))
+        else:
+            make_synthetic_dataset(ds, n_train=args.n_train,
+                                   n_val=args.n_val, hw=(args.hw, args.hw))
 
     # --- 2. cluster masks: 2x1 grid ---
     import scripts.create_cluster_masks as ccm

@@ -118,3 +118,27 @@ def test_memory_dataset_batches(dataset):
     # Deterministic given the same rng seed.
     b2 = next(iter(ds.batches(64, np.random.default_rng(0))))
     np.testing.assert_array_equal(b["rays"], b2["rays"])
+
+
+def test_drone_dataset_layout_and_content(tmp_path):
+    """The drone-survey generator writes the reference dataset layout with
+    informative (non-constant) oblique views of the box scene."""
+    import numpy as np
+    from PIL import Image
+
+    from mega_nerf_tpu.data.torch_io import load_pt
+    from tests.synthetic import make_drone_dataset
+
+    root = make_drone_dataset(tmp_path / "ds", n_train=4, n_val=1, hw=(32, 32))
+    coords = load_pt(root / "coordinates.pt")
+    assert float(coords["pose_scale_factor"]) == 1.0
+    train = sorted((root / "train" / "rgbs").glob("*.png"))
+    assert len(train) == 4
+    assert len(list((root / "val" / "rgbs").glob("*.png"))) == 1
+    for p in train:
+        img = np.asarray(Image.open(p), np.float32) / 255.0
+        assert img.std() > 0.05, f"{p} looks constant"
+        md = load_pt(root / "train" / "metadata" / (p.stem + ".pt"))
+        assert int(md["W"]) == 32 and np.asarray(md["c2w"]).shape == (3, 4)
+        # cameras are ABOVE the scene (DRB x points down)
+        assert float(np.asarray(md["c2w"])[0, 3]) < 0.0
