@@ -257,9 +257,17 @@ def make_drone_dataset(
     ys = np.linspace(-1.1, 1.1, gy)
     zs = np.linspace(-0.85, 0.85, gz)
     lattice = [(yy, zz) for yy in ys for zz in zs][:n_total]
+    # Evenly-spaced val viewpoints (the tail of the lattice would put every
+    # held-out camera in one corner of the footprint).
+    val_idx = set(
+        int(round(j * (n_total - 1) / max(n_val, 1)))
+        for j in range(1, n_val + 1)
+    )
+    while len(val_idx) < n_val:  # rounding collisions
+        val_idx.add(len(val_idx))
 
     for i, (yy, zz) in enumerate(lattice):
-        split = "val" if i >= n_train else "train"
+        split = "val" if i in val_idx else "train"
         (root / split / "metadata").mkdir(parents=True, exist_ok=True)
         (root / split / "rgbs").mkdir(parents=True, exist_ok=True)
 
