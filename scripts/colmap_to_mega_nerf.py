@@ -6,8 +6,8 @@ centers them on the camera bounding-box midpoint, scales by --scale,
 undistorts images, and writes coordinates.pt + per-image metadata with the
 train/val split (every len/num_val-th image is validation).
 
-Camera models: SIMPLE_RADIAL (like the reference) plus SIMPLE_PINHOLE and
-PINHOLE (no distortion).
+Camera models: SIMPLE_RADIAL (like the reference) plus SIMPLE_PINHOLE /
+PINHOLE (no distortion) and RADIAL / OPENCV (cv2-native k1 k2 [p1 p2]).
 """
 
 from __future__ import annotations
@@ -52,6 +52,14 @@ def camera_matrix_and_distortion(camera):
     elif camera.model == "PINHOLE":
         k = np.array([[p[0], 0, p[2]], [0, p[1], p[3]], [0, 0, 1]])
         dist = np.zeros(4)
+    elif camera.model == "RADIAL":
+        # f, cx, cy, k1, k2
+        k = np.array([[p[0], 0, p[1]], [0, p[0], p[2]], [0, 0, 1]])
+        dist = np.array([p[3], p[4], 0, 0])
+    elif camera.model == "OPENCV":
+        # fx, fy, cx, cy, k1, k2, p1, p2 — cv2's native ordering
+        k = np.array([[p[0], 0, p[2]], [0, p[1], p[3]], [0, 0, 1]])
+        dist = np.array([p[4], p[5], p[6], p[7]])
     else:
         raise AssertionError(f"Unsupported camera model: {camera.model}")
     return k, dist
