@@ -166,16 +166,31 @@ def _run_child(mode: str, timeout_s: int):
     Returns (parsed result dict | None, note str). Kills the whole child
     process group on timeout so a hung Mosaic compile can't outlive us.
     """
+    import signal
+
     cmd = [sys.executable, os.path.abspath(__file__), "--_child", mode]
     t0 = time.perf_counter()
+    # Popen + killpg, NOT subprocess.run: run()'s timeout path kills only
+    # the immediate child and then blocks reading the pipe — a jax/libtpu
+    # helper that inherited stdout would hang the parent forever, exactly
+    # the driver hang this file exists to prevent.
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        start_new_session=True,
+    )
     try:
-        proc = subprocess.run(
-            cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            timeout=timeout_s, start_new_session=True,
-        )
+        out_b, _ = proc.communicate(timeout=timeout_s)
     except subprocess.TimeoutExpired:
+        try:
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            proc.kill()
+        try:
+            proc.communicate(timeout=10)
+        except subprocess.TimeoutExpired:
+            pass
         return None, f"{mode}: timed out after {timeout_s}s"
-    out = proc.stdout.decode("utf-8", "replace")
+    out = out_b.decode("utf-8", "replace")
     dt = time.perf_counter() - t0
     if proc.returncode != 0:
         tail = " | ".join(out.strip().splitlines()[-3:])

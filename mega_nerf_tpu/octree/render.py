@@ -58,7 +58,12 @@ def render_octree_rays(
     pts = (o[:, None, :] + d[:, None, :] * z[..., None]).reshape(-1, 3)
 
     vals = query_tree(tree, pts).reshape(n, steps, -1)
-    sigma = np.maximum(vals[..., -1], 0.0)
+    # Samples OUTSIDE the tree AABB would clamp to boundary leaves
+    # (query_tree clips tree coords) and smear edge density along exiting
+    # rays — treat them as empty space instead.
+    tc = tree.world_to_tree(pts.astype(np.float32)).reshape(n, steps, 3)
+    inside = ((tc >= 0.0) & (tc < 1.0)).all(axis=-1)
+    sigma = np.where(inside, np.maximum(vals[..., -1], 0.0), 0.0)
     if sh_deg is not None and sh_deg >= 0 and tree.data_format != "RGBA":
         basis = (sh_deg + 1) ** 2
         coeffs = vals[..., : 3 * basis].reshape(n, steps, 3, basis)

@@ -139,16 +139,18 @@ def composite_weights_merge(
 def _cross_terms_grouped(
     q: jnp.ndarray,
     keys: jnp.ndarray,
-    log_t: jnp.ndarray,
+    log_t: jnp.ndarray | None,
     strict: bool,
     group: int = 16,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray | None]:
     """Per-query cross-list terms against ONE sorted key list, two-level.
 
     For each query q_i over ascending keys (N, P) with per-key payload
     `log_t`, define prefix_i = {j : keys_j < q_i} (strict) or {keys_j <=
     q_i}. Returns (next_key, prefix_sum): the smallest key NOT in the
-    prefix (1e30 sentinel if none) and the payload sum over the prefix.
+    prefix (1e30 sentinel if none) and the payload sum over the prefix
+    (None when `log_t` is None — the keys-only mode skips the payload
+    select entirely rather than einsumming a zeros payload).
 
     This is the merge compositor's O(Sa*Sb) pairwise work in O(Q*(G+g)):
     level 1 counts fully-prefix groups by their max key, the straddling
@@ -165,9 +167,7 @@ def _cross_terms_grouped(
     # Pads: 1e30 keys are never in any prefix (q is a real depth) and never
     # the next_key min unless no real key qualifies — the wanted sentinel.
     keys_p = jnp.pad(keys, ((0, 0), (0, pad)), constant_values=1e30)
-    lt_p = jnp.pad(log_t, ((0, 0), (0, pad)))
     k_blk = keys_p.reshape(n, num_groups, g)
-    lt_blk = lt_p.reshape(n, num_groups, g)
     gmax = k_blk[:, :, -1]
     gmin = k_blk[:, :, 0]
 
@@ -186,20 +186,34 @@ def _cross_terms_grouped(
     # where gi+1 would be out of range.
     hp = jax.lax.Precision.HIGHEST
     oh = (jnp.arange(num_groups) == gi[..., None]).astype(keys.dtype)
-    group_sums = jnp.sum(lt_blk, axis=-1)  # (N, G)
-    excl = jnp.cumsum(group_sums, axis=-1) - group_sums
     next_min = jnp.concatenate(
         [gmin[:, 1:], jnp.full_like(gmin[:, :1], big)], axis=-1
     )
-    payload = jnp.concatenate(
-        [k_blk, lt_blk, jnp.stack([excl, next_min], axis=-1)], axis=-1
-    )  # (N, G, 2g + 2)
-    sel = jnp.einsum("nqG,nGk->nqk", oh, payload, precision=hp)
-    sel_k, sel_lt = sel[..., :g], sel[..., g:2 * g]
-    group_prefix, next_group = sel[..., 2 * g], sel[..., 2 * g + 1]
+    if log_t is None:
+        payload = jnp.concatenate(
+            [k_blk, next_min[..., None]], axis=-1
+        )  # (N, G, g + 1)
+        sel = jnp.einsum("nqG,nGk->nqk", oh, payload, precision=hp)
+        sel_k, next_group = sel[..., :g], sel[..., g]
+        prefix_sum = None
+    else:
+        lt_blk = jnp.pad(
+            log_t, ((0, 0), (0, pad))
+        ).reshape(n, num_groups, g)
+        group_sums = jnp.sum(lt_blk, axis=-1)  # (N, G)
+        excl = jnp.cumsum(group_sums, axis=-1) - group_sums
+        payload = jnp.concatenate(
+            [k_blk, lt_blk, jnp.stack([excl, next_min], axis=-1)], axis=-1
+        )  # (N, G, 2g + 2)
+        sel = jnp.einsum("nqG,nGk->nqk", oh, payload, precision=hp)
+        sel_k, sel_lt = sel[..., :g], sel[..., g:2 * g]
+        group_prefix, next_group = sel[..., 2 * g], sel[..., 2 * g + 1]
 
     m = pred(sel_k, q[:, :, None])  # (N, Q, g)
-    prefix_sum = group_prefix + jnp.sum(jnp.where(m, sel_lt, 0.0), axis=-1)
+    if log_t is not None:
+        prefix_sum = group_prefix + jnp.sum(
+            jnp.where(m, sel_lt, 0.0), axis=-1
+        )
     next_within = jnp.min(jnp.where(m, big, sel_k), axis=-1)
     return jnp.minimum(next_within, next_group), prefix_sum
 
@@ -252,10 +266,10 @@ def composite_weights_merge_grouped(
     # and run as a second grouped pass — XLA CSEs the repeated group
     # search and block selects between the two passes.
     next_b_for_a, _ = _cross_terms_grouped(
-        ka, kb, jnp.zeros_like(kb), strict=True, group=group
+        ka, kb, None, strict=True, group=group
     )
     next_a_for_b, _ = _cross_terms_grouped(
-        kb, ka, jnp.zeros_like(ka), strict=False, group=group
+        kb, ka, None, strict=False, group=group
     )
     delta_a = jnp.minimum(gap_a_own, next_b_for_a - ka)
     delta_b = jnp.minimum(gap_b_own, next_a_for_b - kb)

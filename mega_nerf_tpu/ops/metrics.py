@@ -110,10 +110,18 @@ def lpips(rgbs: np.ndarray, target_rgbs: np.ndarray) -> Dict[str, float]:
         # validation. Only load/format errors are swallowed — a failure in
         # the metric call itself (a genuine bug, an OOM) must propagate,
         # not vanish as a bogus "weights unusable" warning.
+        import pickle
+        import zipfile
+
         try:
             if net not in _LPIPS_CACHE:
                 _LPIPS_CACHE[net] = jlpips.LPIPS.from_npz(net)
-        except (OSError, ValueError, KeyError) as e:
+        except (
+            OSError, ValueError, KeyError,
+            # np.load on a truncated/corrupt .npz raises these directly
+            # (they are not OSError/ValueError subclasses):
+            zipfile.BadZipFile, pickle.UnpicklingError, EOFError,
+        ) as e:
             key = f"warned_{net}"
             if key not in _LPIPS_CACHE:
                 _LPIPS_CACHE[key] = True

@@ -120,18 +120,36 @@ def _run_probe_subprocess(timeout: float, compositor: str = "merge") -> bool:
     # path (e.g. the axon relay's /root/.axon_site) to register the backend.
     prev = env.get("PYTHONPATH")
     env["PYTHONPATH"] = repo_root + (os.pathsep + prev if prev else "")
+    import signal
+
+    # Popen + killpg (not subprocess.run): a timed-out probe may leave
+    # pipe-inheriting helpers behind; run()'s timeout path kills only the
+    # immediate child and can then block on the pipe read.
     try:
-        proc = subprocess.run(
+        proc = subprocess.Popen(
             [sys.executable, "-m", "mega_nerf_tpu.render.compositor_probe",
              compositor],
             env=env,
-            timeout=timeout,
-            capture_output=True,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
             text=True,
+            start_new_session=True,
         )
-    except (subprocess.TimeoutExpired, OSError):
+    except OSError:
         return False
-    return proc.returncode == 0 and _PROBE_SENTINEL in proc.stdout
+    try:
+        out, _ = proc.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            proc.kill()
+        try:
+            proc.communicate(timeout=10)
+        except subprocess.TimeoutExpired:
+            pass
+        return False
+    return proc.returncode == 0 and _PROBE_SENTINEL in out
 
 
 def eval_compositor_choice(

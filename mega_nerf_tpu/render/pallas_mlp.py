@@ -66,7 +66,12 @@ def supports_fused_kernels(cfg: NeRFConfig, train: bool = False) -> bool:
       XLA.
     - Architecture limits (rgb-only head, no affine appearance) are shared
       by pack_params."""
-    max_dim = 1024 if train else 2048
+    # The 2048-channel eval budget assumes bf16 weights (pack_params casts
+    # to cfg.dtype): an f32 --compute_dtype run would need ~148 MB of
+    # resident weights against the 100 MB scoped-VMEM limit, so f32 keeps
+    # the 1024 gate and falls back to XLA above it.
+    bf16 = cfg.dtype == jnp.bfloat16
+    max_dim = 1024 if (train or not bf16) else 2048
     return (
         cfg.rgb_dim == 3
         and not cfg.affine_appearance

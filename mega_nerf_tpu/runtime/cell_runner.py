@@ -249,6 +249,9 @@ class CellRunner(Runner):
                 self._save_cell_checkpoints(
                     state, train_iterations, dataset.state()
                 )
+                # K collective gathers + file IO ran inside the timed
+                # window — same throughput-sample distortion as validation.
+                hooks.restart_window(train_iterations)
 
             if train_iterations % hp.val_interval == 0 and (
                 train_iterations < hp.train_iterations
@@ -291,6 +294,23 @@ class CellRunner(Runner):
             self._take_cell_fn = take
         return jax.device_get(take(state, np.int32(cell)))
 
+    def _gather_cell_params(self, state: TrainState, cell: int):
+        """Like `_gather_cell_state` but fg/bg params only — validation
+        never reads the Adam moments, and gathering them would ~3x the
+        cross-host traffic of every per-cell validation pass."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        take = getattr(self, "_take_cell_params_fn", None)
+        if take is None:
+            take = jax.jit(
+                lambda fg, bg, c: jax.tree.map(lambda x: x[c], (fg, bg)),
+                out_shardings=NamedSharding(self.mesh, P()),
+            )
+            self._take_cell_params_fn = take
+        return jax.device_get(
+            take(state.fg_params, state.bg_params, np.int32(cell))
+        )
+
     def _run_cell_validation(self, state: TrainState, train_index: int) -> None:
         """Per-submodule validation at --val_interval, matching what each of
         the reference's independent jobs does (`runner.py:285-290`): every
@@ -303,10 +323,8 @@ class CellRunner(Runner):
         averaging — runs per cell, every process participating."""
         if jax.process_count() > 1:
             for cell in range(self.num_cells):
-                gathered = self._gather_cell_state(state, cell)
-                cell_state = state.replace(
-                    fg_params=gathered.fg_params, bg_params=gathered.bg_params
-                )
+                fg_p, bg_p = self._gather_cell_params(state, cell)
+                cell_state = state.replace(fg_params=fg_p, bg_params=bg_p)
                 self._run_validation(
                     cell_state, train_index, key_prefix=f"val/cell{cell}"
                 )

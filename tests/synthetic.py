@@ -263,8 +263,9 @@ def make_drone_dataset(
         int(round(j * (n_total - 1) / max(n_val, 1)))
         for j in range(1, n_val + 1)
     )
+    backfill = (i for i in range(n_total) if i not in val_idx)
     while len(val_idx) < n_val:  # rounding collisions
-        val_idx.add(len(val_idx))
+        val_idx.add(next(backfill))
 
     for i, (yy, zz) in enumerate(lattice):
         split = "val" if i in val_idx else "train"
