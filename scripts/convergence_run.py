@@ -33,20 +33,24 @@ def main() -> None:
     ap.add_argument("--val_interval", type=int, default=2500)
     ap.add_argument("--hw", type=int, default=128)
     ap.add_argument("--n_train", type=int, default=28)
+    ap.add_argument("--scene", type=str, default="ring",
+                    choices=["ring", "drone"])
     args = ap.parse_args()
 
     work = Path(args.workdir)
     work.mkdir(parents=True, exist_ok=True)
 
     # --- 1. synthetic scene (reference dataset layout, SURVEY §2.6) ---
-    from tests.synthetic import make_synthetic_dataset
+    from tests.synthetic import make_drone_dataset, make_synthetic_dataset
 
     ds = work / "ds"
     if not (ds / "coordinates.pt").exists():
         print("building synthetic dataset...")
-        make_synthetic_dataset(
-            ds, n_train=args.n_train, n_val=2, hw=(args.hw, args.hw)
+        maker = (
+            make_drone_dataset if args.scene == "drone"
+            else make_synthetic_dataset
         )
+        maker(ds, n_train=args.n_train, n_val=2, hw=(args.hw, args.hw))
 
     # --- 2. cluster masks (grid 2x1 -> this run trains cell 0) ---
     import scripts.create_cluster_masks as ccm
