@@ -63,6 +63,10 @@ def main() -> None:
                          "cell split")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny model/scene: wiring check on CPU")
+    ap.add_argument("--medium", action="store_true",
+                    help="4x128 model, 64+128 samples: CPU-runnable "
+                         "convergence (hours), between --smoke and the "
+                         "paper config")
     ap.add_argument("--bake", action="store_true",
                     help="also drive the L6 bake path on the merged model: "
                          "create_octree + a 2-frame render_images flythrough")
@@ -87,6 +91,14 @@ def main() -> None:
             "--layer_dim", "32", "--bg_layer_dim", "32",
             "--appearance_dim", "8",
         ]
+    elif args.medium:
+        model_args = [
+            "--coarse_samples", "64", "--fine_samples", "128",
+            "--pos_xyz_dim", "10", "--pos_dir_dim", "4",
+            "--layers", "4", "--skip_layers", "2",
+            "--layer_dim", "128", "--bg_layer_dim", "128",
+            "--appearance_dim", "16",
+        ]
 
     work = Path(args.workdir)
     work.mkdir(parents=True, exist_ok=True)
@@ -97,10 +109,12 @@ def main() -> None:
     stamp_path = work / "scene_config.json"
     stamp = {"grid": list(args.grid), "hw": args.hw, "smoke": bool(args.smoke),
              "n_train": args.n_train, "n_val": args.n_val,
-             "scene": args.scene}
+             "scene": args.scene, "medium": bool(args.medium)}
     if stamp_path.exists():
         old = json.loads(stamp_path.read_text())
-        if old != stamp:
+        # Keys absent from an older stamp were that version's defaults —
+        # only a present-and-different value is a real config change.
+        if any(old.get(k, v) != v for k, v in stamp.items()):
             raise SystemExit(
                 f"workdir {work} was built with {old}, now asked for "
                 f"{stamp}: pass a fresh --workdir (artifacts are reused "
