@@ -123,6 +123,14 @@ def get_opts_base() -> argparse.ArgumentParser:
                         help='disable the fused Pallas MLP eval kernel '
                              '(default "auto": on for TPU render/eval '
                              'paths, 1.43x over the XLA lowering on v5e)')
+    parser.add_argument('--distortion_loss_weight', type=float, default=0.0,
+                        help='Mip-NeRF 360 distortion regularizer on the '
+                             'coarse pass (TPU framework extension, not in '
+                             'the reference): penalizes spread-out or '
+                             'floating density along rays — useful against '
+                             'merge-time floaters in per-cell training. '
+                             '0 disables (default, reference-parity '
+                             'behavior); try 1e-3..1e-2')
     parser.add_argument('--eval_compositor', type=str, default='auto',
                         choices=['auto', 'merge_grouped', 'merge', 'union'],
                         help='coarse+fine compositor for eval renders: '

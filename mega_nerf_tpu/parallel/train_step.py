@@ -111,6 +111,12 @@ def make_train_step(
             coarse_loss = jnp.mean((results["rgb_coarse"] - rgbs) ** 2)
             metrics["coarse_loss"] = coarse_loss
             loss = (loss + coarse_loss) / 2
+        if settings.distortion_loss_weight > 0:
+            # Anti-floater regularizer (render/rendering.py emits the
+            # per-ray coarse-pass term; beyond the reference, default off).
+            distortion = jnp.mean(results["distortion_coarse"])
+            metrics["distortion"] = distortion
+            loss = loss + settings.distortion_loss_weight * distortion
         metrics["loss"] = loss
         return loss, (metrics, bg_present)
 

@@ -85,6 +85,10 @@ class RenderSettings:
     get_depth: bool = False
     get_depth_variance: bool = False
     get_bg_fg_rgb: bool = False
+    # Mip-NeRF 360 distortion regularizer weight (> 0 emits a per-ray
+    # `distortion_coarse` term for the trainer; an anti-floater lever for
+    # spatially-partitioned training, beyond the reference). 0 = off.
+    distortion_loss_weight: float = 0.0
 
     @classmethod
     def from_hparams(cls, hparams, **overrides) -> "RenderSettings":
@@ -97,6 +101,9 @@ class RenderSettings:
             remat=getattr(hparams, "remat", False),
             use_pallas=getattr(hparams, "use_pallas", "auto"),
             eval_compositor=getattr(hparams, "eval_compositor", "auto"),
+            distortion_loss_weight=getattr(
+                hparams, "distortion_loss_weight", 0.0
+            ),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -395,6 +402,29 @@ def _inference(
         results[f"bg_lambda_{typ}"] = cw.bg_lambda
     if get_weights:
         results[f"weights_{typ}"] = weights
+    if (
+        settings.distortion_loss_weight > 0
+        and typ == "coarse"
+        and not flip
+        and not merge_prev
+    ):
+        # Mip-NeRF 360 distortion regularizer (beyond the reference — an
+        # anti-floater lever for per-cell training, where a submodule can
+        # hide view-consistent density in rarely-triangulated space; off
+        # by default). Coarse pass only: its z ascend per ray, so the
+        # O(S^2) pairwise |s_i - s_j| collapses to exclusive cumsums —
+        # sum_ij w_i w_j |s_i-s_j| = 2 sum_i w_i (s_i W_<i - (ws)_<i).
+        span = z_vals[:, -1:] - z_vals[:, :1] + 1e-8
+        s = (z_vals - z_vals[:, :1]) / span
+        d = jnp.concatenate(
+            [s[:, 1:] - s[:, :-1], jnp.zeros_like(s[:, :1])], axis=-1
+        )
+        cum_w = jnp.cumsum(weights, axis=-1) - weights
+        cum_ws = jnp.cumsum(weights * s, axis=-1) - weights * s
+        results["distortion_coarse"] = (
+            2.0 * jnp.sum(weights * (s * cum_w - cum_ws), axis=-1)
+            + jnp.sum(weights**2 * d, axis=-1) / 3.0
+        )
 
     if composite_rgb:
         results[f"rgb_{typ}"] = jnp.sum(weights[..., None] * rgbs, axis=1)

@@ -349,3 +349,51 @@ def test_compositor_probe_policy(tmp_path, monkeypatch):
     monkeypatch.setenv(CP.ENV_OVERRIDE, "union")
     assert CP.merge_eval_ok(probe=boom, cache_path=cache, version=v) is False
 
+
+
+def test_distortion_loss_term():
+    """--distortion_loss_weight > 0 emits a per-ray coarse-pass distortion
+    (Mip-NeRF 360 form): concentrated density scores lower than spread-out
+    density of equal total opacity, the term is differentiable, and the
+    default-off setting leaves the results dict unchanged."""
+    rays = _straight_rays(4)
+
+    def render_with(bundle, weight):
+        st = RenderSettings(coarse_samples=32, fine_samples=8,
+                            distortion_loss_weight=weight)
+        r, _ = render_rays(bundle, None, {}, None, rays, None, st,
+                           train=True, key=jax.random.key(0))
+        return r
+
+    # default off: no key
+    assert "distortion_coarse" not in render_with(_ball_bundle([1, 0, 0]), 0.0)
+
+    concentrated = _ball_bundle([1.0, 0.0, 0.0], radius=0.2, density=1e4)
+    # haze: low uniform density everywhere -> weights spread along the ray
+    hazy = _const_bundle([1.0, 0.0, 0.0], density=1.0)
+    d_conc = np.asarray(
+        render_with(concentrated, 1.0)["distortion_coarse"]
+    )
+    d_hazy = np.asarray(render_with(hazy, 1.0)["distortion_coarse"])
+    assert d_conc.shape == (4,)
+    assert (d_conc >= -1e-6).all() and (d_hazy >= -1e-6).all()
+    assert d_hazy.mean() > 5 * max(d_conc.mean(), 1e-6), (
+        d_hazy.mean(), d_conc.mean())
+
+    # differentiable: gradient of the mean term w.r.t. a density scale
+    import dataclasses as _dc
+
+    def loss(scale):
+        bundle = FakeBundle(
+            lambda x: jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]),
+                                       x.shape[:-1] + (3,)),
+            lambda x: jnp.full(x.shape[:-1], 1.0) * scale,
+        )
+        st = RenderSettings(coarse_samples=16, fine_samples=0,
+                            distortion_loss_weight=1.0)
+        r, _ = render_rays(bundle, None, {}, None, rays, None, st,
+                           train=True, key=jax.random.key(1))
+        return jnp.mean(r["distortion_coarse"])
+
+    g = float(np.asarray(jax.grad(loss)(jnp.asarray(2.0))))
+    assert np.isfinite(g) and g != 0.0
