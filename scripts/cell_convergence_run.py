@@ -63,6 +63,10 @@ def main() -> None:
                          "cell split")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny model/scene: wiring check on CPU")
+    ap.add_argument("--distortion_loss_weight", type=float, default=0.0,
+                    help="anti-floater regularizer for the per-cell "
+                         "training (framework extension; 0 = reference "
+                         "parity)")
     ap.add_argument("--medium", action="store_true",
                     help="4x128 model, 64+128 samples: CPU-runnable "
                          "convergence (hours), between --smoke and the "
@@ -164,6 +168,7 @@ def main() -> None:
         "--near", "0.5",
         "--ray_altitude_range", "-2.0", "2.0",
     ] + model_args + [
+        "--distortion_loss_weight", str(args.distortion_loss_weight),
         "--batch_size", "1024",
         "--lr", "5e-4", "--lr_decay_factor", "0.1",
         "--train_iterations", str(args.steps),
