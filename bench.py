@@ -23,7 +23,11 @@ stage runs in its own watchdogged subprocess):
      here. Its number is banked before anything riskier runs.
   3. Pallas-path bench (use_pallas="auto", the default train path): tried
      last because killing a hung Mosaic compile can wedge the worker —
-     by then the XLA number is already in hand. Reported if faster.
+     by then the XLA number is already in hand. Reported if faster. On a
+     timeout it retries ONCE with a fresh AXON_CASSETTE_SALT: a previous
+     bench killed mid-compile poisons the remote compile-cache entry for
+     exactly this program (observed after round 2's driver timeout), and
+     salting the cache key is the documented heal.
 
 Child invocations (`--_child ...`) print `BENCH_RESULT {json}` on success;
 the parent never imports jax.
@@ -160,7 +164,7 @@ def _child_bench(use_pallas) -> None:
 # Parent: watchdogged orchestration, no jax import.
 # ---------------------------------------------------------------------------
 
-def _run_child(mode: str, timeout_s: int):
+def _run_child(mode: str, timeout_s: int, extra_env: dict | None = None):
     """Run `python bench.py --_child <mode>` under a watchdog.
 
     Returns (parsed result dict | None, note str). Kills the whole child
@@ -169,6 +173,10 @@ def _run_child(mode: str, timeout_s: int):
     import signal
 
     cmd = [sys.executable, os.path.abspath(__file__), "--_child", mode]
+    env = None
+    if extra_env:
+        env = dict(os.environ)
+        env.update(extra_env)
     t0 = time.perf_counter()
     # Popen + killpg, NOT subprocess.run: run()'s timeout path kills only
     # the immediate child and then blocks reading the pipe — a jax/libtpu
@@ -176,7 +184,7 @@ def _run_child(mode: str, timeout_s: int):
     # the driver hang this file exists to prevent.
     proc = subprocess.Popen(
         cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        start_new_session=True,
+        start_new_session=True, env=env,
     )
     try:
         out_b, _ = proc.communicate(timeout=timeout_s)
@@ -248,6 +256,19 @@ def main() -> None:
 
     pallas, note = _run_child("pallas", PALLAS_TIMEOUT_S)
     print(f"[bench] {note}", flush=True)
+    if pallas is None and "timed out" in note:
+        # A bench run killed mid-compile (e.g. the round-2 driver timeout)
+        # poisons the remote compile cache entry for THIS exact program:
+        # every later unsalted compile of it hangs while everything else is
+        # fine. AXON_CASSETTE_SALT hashes into the cache key, forcing a
+        # fresh entry — observed to compile in ~90 s and heal the unsalted
+        # path for subsequent runs.
+        salt = f"bench-heal-{int(time.time())}"
+        pallas, note = _run_child(
+            "pallas", PALLAS_TIMEOUT_S + 60,
+            extra_env={"AXON_CASSETTE_SALT": salt},
+        )
+        print(f"[bench] salted retry ({salt}): {note}", flush=True)
     if pallas is not None and pallas["rays_per_sec"] > best:
         best, best_path = pallas["rays_per_sec"], "pallas-fused"
 
