@@ -102,6 +102,10 @@ def _make_bench_setup(batch_size: int, use_pallas):
     )
     settings = RenderSettings(
         coarse_samples=256, fine_samples=512, use_pallas=use_pallas,
+        # A/B hook for the train-side grouped inverse-CDF (off by default;
+        # see RenderSettings.train_grouped_cdf).
+        train_grouped_cdf=bool(int(os.environ.get(
+            "MNTPU_TRAIN_GROUPED_CDF", "0"))),
     )
 
     fg = make_nerf(hp, appearance_count=512)

@@ -82,6 +82,12 @@ class RenderSettings:
     # crashes on the composed merge graph; see _inference). Train always
     # uses the pairwise merge (proven stable at train shapes).
     eval_compositor: Any = "auto"
+    # Use the two-level grouped inverse-CDF bracketing on the TRAIN path
+    # too (eval already takes it by size heuristic). Off by default: the
+    # driver's bench must never meet a lowering unproven against the
+    # deployed compiler — flip after an on-chip A/B (see bench.py's
+    # MNTPU_TRAIN_GROUPED_CDF hook).
+    train_grouped_cdf: bool = False
     get_depth: bool = False
     get_depth_variance: bool = False
     get_bg_fg_rgb: bool = False
@@ -518,10 +524,11 @@ def _get_results(
     # paper config, PERF.md round-3 profile). Train keeps the proven dense
     # reduces until the grouped einsum lowering is validated against the
     # deployed compiler next to the fused custom-VJP train kernels — the
-    # driver's bench must never meet an unproven pattern first.
+    # driver's bench must never meet an unproven pattern first
+    # (settings.train_grouped_cdf opts in for the A/B).
     fine_z_vals = sample_pdf(
         z_vals_mid, weights_c, fine_samples, det=(perturb == 0), key=k_sample,
-        grouped=None if not train else False,
+        grouped=None if (not train or settings.train_grouped_cdf) else False,
     )
     fine_z_vals = jax.lax.stop_gradient(fine_z_vals)
     if flip:

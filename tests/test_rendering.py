@@ -188,6 +188,26 @@ def test_real_nerf_render_jit_and_grad():
     assert fg_norm > 0 and bg_norm > 0
 
 
+def test_train_grouped_cdf_bit_identical():
+    """`train_grouped_cdf=True` routes the train fine sampler through the
+    two-level grouped bracketing (op-level bit-equality is pinned in
+    test_ops_sampling); this pins the RenderSettings plumbing: same key ->
+    bit-identical render. coarse_samples=96 puts the cdf above the 64-entry
+    grouped-path threshold so the flag actually changes the lowering."""
+    hp = tiny_hparams()
+    fg = make_nerf(hp, appearance_count=1)
+    fg_params = fg.init(jax.random.key(0))
+    rays = _straight_rays(4)
+    outs = []
+    for grouped in (False, True):
+        settings = RenderSettings(coarse_samples=96, fine_samples=16,
+                                  train_grouped_cdf=grouped)
+        r, _ = render_rays(fg, None, fg_params, None, rays, None, settings,
+                           train=True, key=jax.random.key(3))
+        outs.append(np.asarray(r["rgb_fine"]))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
 def test_eval_deterministic_train_stochastic():
     hp = tiny_hparams()
     fg = make_nerf(hp, appearance_count=1)
