@@ -79,8 +79,13 @@ def _child_health() -> None:
     print(RESULT_TAG + json.dumps({"ok": True, "backend": jax.default_backend()}))
 
 
-def _make_bench_setup(batch_size: int, use_pallas):
-    """Build (step_fn, state, batch) for the paper-parity train config."""
+def _make_bench_setup(batch_size: int, use_pallas, layer_dim: int = 256,
+                      coarse_samples: int = 256, fine_samples: int = 512,
+                      with_bg: bool = True):
+    """Build (step_fn, state, batch) for the paper-parity train config.
+
+    The non-default parameters exist for scripts/train_width_bench.py's
+    model-family sweeps; the driver's bench always runs the defaults."""
     from argparse import Namespace
 
     import jax
@@ -96,12 +101,13 @@ def _make_bench_setup(batch_size: int, use_pallas):
 
     hp = Namespace(
         pos_xyz_dim=12, pos_dir_dim=4, layers=8, skip_layers=[4],
-        layer_dim=256, bg_layer_dim=256, appearance_dim=48,
+        layer_dim=layer_dim, bg_layer_dim=layer_dim, appearance_dim=48,
         affine_appearance=False, use_cascade=False, sh_deg=None,
         shifted_softplus=True, compute_dtype="bfloat16",
     )
     settings = RenderSettings(
-        coarse_samples=256, fine_samples=512, use_pallas=use_pallas,
+        coarse_samples=coarse_samples, fine_samples=fine_samples,
+        use_pallas=use_pallas,
         # A/B hook for the train-side grouped inverse-CDF (off by default;
         # see RenderSettings.train_grouped_cdf).
         train_grouped_cdf=bool(int(os.environ.get(
@@ -109,7 +115,7 @@ def _make_bench_setup(batch_size: int, use_pallas):
     )
 
     fg = make_nerf(hp, appearance_count=512)
-    bg = make_bg_nerf(hp, appearance_count=512)
+    bg = make_bg_nerf(hp, appearance_count=512) if with_bg else None
     optimizer = make_optimizer(5e-4, 0.1, 500_000)
     state = make_train_state(fg, bg, optimizer, jax.random.PRNGKey(0))
 
@@ -138,7 +144,7 @@ def _make_bench_setup(batch_size: int, use_pallas):
 
 
 def run_bench_steps(batch_size: int = 1024, n_steps: int = 30,
-                    use_pallas="auto", warmup: int = 3) -> float:
+                    use_pallas="auto", warmup: int = 3, **setup_kw) -> float:
     """Compile + run the donated train step; return measured rays/sec.
 
     Timing is trustworthy over the relay because the donated state chains
@@ -146,7 +152,7 @@ def run_bench_steps(batch_size: int = 1024, n_steps: int = 30,
     """
     import jax
 
-    step, state, batch = _make_bench_setup(batch_size, use_pallas)
+    step, state, batch = _make_bench_setup(batch_size, use_pallas, **setup_kw)
     for _ in range(warmup):
         state, metrics = step(state, batch)
     jax.block_until_ready(metrics)

@@ -75,8 +75,12 @@ def test_bench_parent_health_retries(capsys, monkeypatch):
     monkeypatch.setattr(bench, "HEALTH_RETRY_SLEEP_S", 0)
     calls = []
 
-    def fake_run_child(mode, timeout_s):
+    salted = []
+
+    def fake_run_child(mode, timeout_s, extra_env=None):
         calls.append(mode)
+        if extra_env:
+            salted.append(extra_env)
         if mode == "health":
             # first attempt stalls, second succeeds
             if calls.count("health") == 1:
@@ -84,7 +88,7 @@ def test_bench_parent_health_retries(capsys, monkeypatch):
             return {"ok": True}, "health: ok in 2s"
         if mode == "xla":
             return {"rays_per_sec": 100.0}, "xla: ok"
-        return None, "pallas: timed out"
+        return None, "pallas: timed out after 160s"
 
     monkeypatch.setattr(bench, "_run_child", fake_run_child)
     monkeypatch.setattr(sys, "argv", ["bench.py"])
@@ -93,12 +97,17 @@ def test_bench_parent_health_retries(capsys, monkeypatch):
     parsed = json.loads(out[-1])
     assert calls.count("health") == 2
     assert parsed["value"] == 100.0 and parsed["path"] == "xla"
+    # A pallas timeout must trigger exactly one salted (poisoned compile
+    # cache heal) retry.
+    assert calls.count("pallas") == 2
+    assert len(salted) == 1 and "AXON_CASSETTE_SALT" in salted[0]
 
     # All health attempts failing -> honest zero, no bench stages run.
     calls.clear()
     monkeypatch.setattr(
         bench, "_run_child",
-        lambda mode, t: (calls.append(mode), (None, f"{mode}: timeout"))[1],
+        lambda mode, t, extra_env=None:
+            (calls.append(mode), (None, f"{mode}: timeout"))[1],
     )
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()
