@@ -44,6 +44,22 @@ import time
 
 REFERENCE_RAYS_PER_SEC_PER_GPU = 740.0
 
+
+def _env_flag(name: str) -> bool:
+    """A/B env flag, parsed defensively ("1"/"true"/"yes" = on).
+
+    Any other value (including garbage) is OFF — the driver's official
+    bench must measure the proven default path unless explicitly flagged."""
+    return os.environ.get(name, "").strip().lower() in ("1", "true", "yes")
+
+
+def _grouped_cdf_flag() -> bool:
+    return _env_flag("MNTPU_TRAIN_GROUPED_CDF")
+
+
+def _grouped_merge_flag() -> bool:
+    return _env_flag("MNTPU_TRAIN_GROUPED_MERGE")
+
 HEALTH_TIMEOUT_S = 60
 HEALTH_RETRIES = 3  # transient relay stalls: a probe that timed out at
                     # 120 s passed in 1.8 s two minutes later (observed)
@@ -108,10 +124,10 @@ def _make_bench_setup(batch_size: int, use_pallas, layer_dim: int = 256,
     settings = RenderSettings(
         coarse_samples=coarse_samples, fine_samples=fine_samples,
         use_pallas=use_pallas,
-        # A/B hook for the train-side grouped inverse-CDF (off by default;
-        # see RenderSettings.train_grouped_cdf).
-        train_grouped_cdf=bool(int(os.environ.get(
-            "MNTPU_TRAIN_GROUPED_CDF", "0"))),
+        # A/B hooks for the train-side grouped patterns (off by default;
+        # see RenderSettings.train_grouped_cdf / train_grouped_merge).
+        train_grouped_cdf=_grouped_cdf_flag(),
+        train_grouped_merge=_grouped_merge_flag(),
     )
 
     fg = make_nerf(hp, appearance_count=512)
@@ -167,7 +183,14 @@ def run_bench_steps(batch_size: int = 1024, n_steps: int = 30,
 
 def _child_bench(use_pallas) -> None:
     rays_per_sec = run_bench_steps(use_pallas=use_pallas)
-    print(RESULT_TAG + json.dumps({"rays_per_sec": round(rays_per_sec, 1)}))
+    # Surface the A/B flag state so a flagged (non-default) run is
+    # identifiable in the banked result, never silently mistaken for the
+    # proven default path.
+    print(RESULT_TAG + json.dumps({
+        "rays_per_sec": round(rays_per_sec, 1),
+        "train_grouped_cdf": _grouped_cdf_flag(),
+        "train_grouped_merge": _grouped_merge_flag(),
+    }))
 
 
 # ---------------------------------------------------------------------------
@@ -220,6 +243,12 @@ def _run_child(mode: str, timeout_s: int, extra_env: dict | None = None):
 
 
 def _emit(value: float, path: str) -> None:
+    # A flagged run measures an experimental train path — tag it so the
+    # banked number is never mistaken for the proven default.
+    if _grouped_cdf_flag():
+        path = path + "+grouped_cdf"
+    if _grouped_merge_flag():
+        path = path + "+grouped_merge"
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
         "value": round(value, 1),

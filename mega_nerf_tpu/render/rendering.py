@@ -83,11 +83,21 @@ class RenderSettings:
     # uses the pairwise merge (proven stable at train shapes).
     eval_compositor: Any = "auto"
     # Use the two-level grouped inverse-CDF bracketing on the TRAIN path
-    # too (eval already takes it by size heuristic). Off by default: the
-    # driver's bench must never meet a lowering unproven against the
-    # deployed compiler — flip after an on-chip A/B (see bench.py's
-    # MNTPU_TRAIN_GROUPED_CDF hook).
+    # too, via the SAME size heuristic as eval (grouped engages at >= 64
+    # cdf entries; below that the dense bracketing is already cheap and
+    # this flag is a no-op — at the paper config coarse_samples=256 it
+    # does engage). Off by default: the driver's bench must never meet a
+    # lowering unproven against the deployed compiler — flip after an
+    # on-chip A/B (see bench.py's MNTPU_TRAIN_GROUPED_CDF hook).
     train_grouped_cdf: bool = False
+    # Use the grouped-cross-terms coarse+fine compositor
+    # (composite_weights_merge_grouped) on the TRAIN path instead of the
+    # pairwise merge. Gradient equality with the pairwise form is pinned in
+    # tests/test_ops_compositing.py; off by default for the same
+    # proven-lowering-first policy as train_grouped_cdf (A/B hook:
+    # MNTPU_TRAIN_GROUPED_MERGE in bench.py). Ignored when perturb > 1
+    # (unsorted lists -> union fallback, as for the pairwise merge).
+    train_grouped_merge: bool = False
     get_depth: bool = False
     get_depth_variance: bool = False
     get_bg_fg_rgb: bool = False
@@ -366,7 +376,12 @@ def _inference(
         # version-gates the known-bad build and AOT-probes any other
         # serving compiler once (guarded subprocess, cached verdict).
         if train:
-            compositor = "merge" if settings.perturb <= 1.0 else "union"
+            if settings.perturb > 1.0:
+                compositor = "union"
+            elif settings.train_grouped_merge:
+                compositor = "merge_grouped"
+            else:
+                compositor = "merge"
         elif settings.eval_compositor == "auto":
             from mega_nerf_tpu.render.compositor_probe import (
                 eval_compositor_choice,

@@ -1,7 +1,8 @@
 #!/bin/bash
+# run_8-scale convergence driver: 4x2 drone scene, 14k steps, octree bake.
 # Auto-resume wrapper: the TPU worker can wedge mid-run; each retry resumes
 # from the latest common per-cell checkpoint.
-cd /root/repo
+cd "$(dirname "$0")/.."
 mkdir -p .exp
 for attempt in 1 2 3 4 5 6; do
   echo "=== attempt $attempt $(date -u +%H:%M:%S) ==="

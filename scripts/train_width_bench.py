@@ -48,8 +48,11 @@ def train_flops_per_ray(width: int, coarse: int, fine: int,
     total = pts * per_point
     if with_bg:
         # NeRF++ background: same trunk at bg_layer_dim == width, its own
-        # sample count (bg evaluates coarse_samples//2 samples per ray).
-        total += (coarse // 2) * per_point
+        # sample counts — render_rays runs the bg model hierarchically too:
+        # a coarse pass at coarse_samples//2 plus (when fine_samples > 0) a
+        # fine pass at fine_samples//2 points per ray (rendering.py:674).
+        bg_pts = coarse // 2 + (fine // 2 if fine > 0 else 0)
+        total += bg_pts * per_point
     return total
 
 

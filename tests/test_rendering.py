@@ -208,6 +208,35 @@ def test_train_grouped_cdf_bit_identical():
     np.testing.assert_array_equal(outs[0], outs[1])
 
 
+def test_train_grouped_merge_bit_identical_with_grads():
+    """`train_grouped_merge=True` routes the train coarse+fine compositor
+    through the grouped cross terms (op-level value+gradient equality is
+    pinned in test_ops_compositing); this pins the RenderSettings plumbing:
+    same key -> bit-identical loss AND gradients through the full train
+    render."""
+    hp = tiny_hparams()
+    fg = make_nerf(hp, appearance_count=1)
+    fg_params = fg.init(jax.random.key(0))
+    rays = _straight_rays(4)
+    target = jnp.full((4, 3), 0.5)
+    outs = []
+    for grouped in (False, True):
+        settings = RenderSettings(coarse_samples=16, fine_samples=16,
+                                  train_grouped_merge=grouped)
+
+        def loss_fn(fp):
+            r, _ = render_rays(fg, None, fp, None, rays, None, settings,
+                               train=True, key=jax.random.key(3))
+            return jnp.mean((r["rgb_fine"] - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(fg_params)
+        outs.append((float(loss), jax.tree.leaves(grads)))
+    assert outs[0][0] == outs[1][0]
+    for g0, g1 in zip(outs[0][1], outs[1][1]):
+        np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_eval_deterministic_train_stochastic():
     hp = tiny_hparams()
     fg = make_nerf(hp, appearance_count=1)
