@@ -110,6 +110,13 @@ def get_opts_base() -> argparse.ArgumentParser:
                         help='replicate the reference packed-input direction '
                              'quirk for parity with its appearance-less '
                              'pretrained models (see NeRFConfig.ref_packed_dirs)')
+    parser.add_argument('--ref_bg_sampling', default=False, action='store_true',
+                        help='replicate the reference bg fine-sampling quirk '
+                             '(descending-order coarse weights paired with '
+                             'ascending bins) so continued reference '
+                             'checkpoints train under the exact bg sampling '
+                             'distribution they were trained with (see '
+                             'RenderSettings.ref_bg_sampling)')
     parser.add_argument('--compute_dtype', type=str, default='bfloat16',
                         choices=['bfloat16', 'float32'],
                         help='MXU matmul precision (params stay float32)')

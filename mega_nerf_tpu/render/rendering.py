@@ -98,6 +98,17 @@ class RenderSettings:
     # MNTPU_TRAIN_GROUPED_MERGE in bench.py). Ignored when perturb > 1
     # (unsorted lists -> union fallback, as for the pairwise merge).
     train_grouped_merge: bool = False
+    # Reproduce the reference's bg fine-sampling quirk exactly: the
+    # reference computes bg coarse compositing weights in DESCENDING-z
+    # order but pairs them with ASCENDING-z bins when building the fine
+    # sampling CDF (`/root/reference/mega_nerf/rendering.py:213-216` vs
+    # `271-273`), effectively reversing the sampling PDF across bins. Our
+    # default flips the weights back into bin order (module docstring —
+    # fine samples land where the coarse pass found density). Set this
+    # (--ref_bg_sampling) when continuing training from reference
+    # checkpoints, so the bg sampling distribution matches the one they
+    # were trained under, like ref_packed_dirs does for input packing.
+    ref_bg_sampling: bool = False
     get_depth: bool = False
     get_depth_variance: bool = False
     get_bg_fg_rgb: bool = False
@@ -117,6 +128,7 @@ class RenderSettings:
             remat=getattr(hparams, "remat", False),
             use_pallas=getattr(hparams, "use_pallas", "auto"),
             eval_compositor=getattr(hparams, "eval_compositor", "auto"),
+            ref_bg_sampling=getattr(hparams, "ref_bg_sampling", False),
             distortion_loss_weight=getattr(
                 hparams, "distortion_loss_weight", 0.0
             ),
@@ -529,10 +541,12 @@ def _get_results(
 
     z_vals_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
     weights_c = jax.lax.stop_gradient(results.pop("weights_coarse"))[:, 1:-1]
-    if flip:
+    if flip and not settings.ref_bg_sampling:
         # Deviation from the reference (see module docstring): weights were
         # computed in descending-z order; flip them back to align with the
         # ascending bins before building the sampling CDF.
+        # `ref_bg_sampling=True` skips the flip, reproducing the
+        # reference's reversed bg sampling PDF bit-for-bit.
         weights_c = jnp.flip(weights_c, axis=-1)
     perturb = settings.perturb if train else 0.0
     # grouped bracketing: ~9x less VPU work (19% of eval device time at the

@@ -237,6 +237,57 @@ def test_train_grouped_merge_bit_identical_with_grads():
                                    rtol=1e-6, atol=1e-7)
 
 
+def test_ref_bg_sampling_flag(monkeypatch):
+    """`--ref_bg_sampling` reproduces the reference's bg fine-sampling
+    quirk (`/root/reference/mega_nerf/rendering.py:213-216` vs `271-273`):
+    descending-order coarse weights paired with ascending bins. Pinned by
+    spying on the CDF builder: in ref mode the bg weights reaching
+    sample_pdf are exactly the reverse of the default mode's, while the
+    fg weights are untouched."""
+    from mega_nerf_tpu.render import rendering as R
+
+    hp = tiny_hparams()
+    fg = make_nerf(hp, appearance_count=1)
+    bg = make_bg_nerf(hp, appearance_count=1)
+    fg_params = fg.init(jax.random.key(0))
+    bg_params = bg.init(jax.random.key(1))
+    rays = _straight_rays(4, far=100.0)
+
+    real_sample_pdf = R.sample_pdf
+    captured = {}
+
+    def run(ref_mode):
+        calls = []
+
+        def spy(bins, weights, *a, **kw):
+            calls.append(np.asarray(weights))
+            return real_sample_pdf(bins, weights, *a, **kw)
+
+        monkeypatch.setattr(R, "sample_pdf", spy)
+        settings = RenderSettings(coarse_samples=16, fine_samples=16,
+                                  ref_bg_sampling=ref_mode)
+        r, _ = render_rays(
+            fg, bg, fg_params, bg_params, rays, None, settings,
+            sphere_center=jnp.zeros(3), sphere_radius=jnp.ones(3) * 3.0,
+        )
+        assert len(calls) == 2  # bg pass first, then fg
+        captured[ref_mode] = calls
+        return np.asarray(r["rgb_fine"])
+
+    rgb_default = run(False)
+    rgb_ref = run(True)
+    bg_default, fg_default = captured[False]
+    bg_ref, fg_ref = captured[True]
+    # ref mode feeds the CDF the reversed (descending-order) bg weights...
+    np.testing.assert_array_equal(bg_ref, bg_default[:, ::-1])
+    # ...and leaves the fg sampling untouched.
+    np.testing.assert_array_equal(fg_ref, fg_default)
+    # The modes really sample differently wherever bg weights are asymmetric.
+    asym = np.abs(bg_default - bg_default[:, ::-1]).max() > 1e-9
+    if asym:
+        assert not np.array_equal(rgb_default, rgb_ref)
+
+
 def test_eval_deterministic_train_stochastic():
     hp = tiny_hparams()
     fg = make_nerf(hp, appearance_count=1)
