@@ -88,7 +88,17 @@ class ModelBundle:
         if not self.is_mega:
             return False
         if self.routing == "auto":
-            return int(self.centroids.shape[0]) > 8
+            # Measured on-chip (scripts/routing_bench.py, v5e, paper model
+            # scale, PERF.md round 4): the dense blend is MLP-throughput
+            # bound (~6.3M pts in 76 ms at BOTH K=8 and K=25 with
+            # K-scaled chunks) and beats the sorted-gather routed path
+            # even at K=25 (4,232 vs 2,220 rays/s) — the routed path's
+            # per-point argsort + row gathers/scatters run on the scalar
+            # core at ~50x below MLP throughput. Routed only pays once
+            # K x FLOPs outgrow that overhead; no shipped config (max
+            # K=25) reaches the crossover, so auto stays dense through
+            # K=32 and routes only beyond.
+            return int(self.centroids.shape[0]) > 32
         return self.routing == "routed"
 
     @property

@@ -157,14 +157,21 @@ def tiny_mega_hparams(k_side: int, routing: str) -> Namespace:
 
 def test_bundle_auto_routing_gate_and_cost():
     dense_b = _make_bundle(tiny_mega_hparams(2, "auto"), 1, 16, 3)
-    routed_b = _make_bundle(tiny_mega_hparams(3, "auto"), 1, 16, 3)
+    k25_b = _make_bundle(tiny_mega_hparams(5, "auto"), 1, 16, 3)
+    routed_b = _make_bundle(tiny_mega_hparams(6, "auto"), 1, 16, 3)
     assert not dense_b.use_routed  # K=4 stays dense under auto
-    assert routed_b.use_routed  # K=9 crosses the auto threshold
+    # On-chip measurement (PERF.md round 4): dense is MLP-throughput-bound
+    # and beats routed through K=25, so every shipped config stays dense.
+    assert not k25_b.use_routed
+    assert routed_b.use_routed  # K=36 crosses the auto threshold
     assert dense_b.eval_submodule_cost == 4
+    assert k25_b.eval_submodule_cost == 25
     # hard assignment (margin 1) -> one expert per point
     assert routed_b.eval_submodule_cost == 1
     forced = _make_bundle(tiny_mega_hparams(3, "dense"), 1, 16, 3)
     assert not forced.use_routed and forced.eval_submodule_cost == 9
+    forced_r = _make_bundle(tiny_mega_hparams(3, "routed"), 1, 16, 3)
+    assert forced_r.use_routed
 
 
 def test_bundle_apply_routed_matches_dense_real_nerf():
