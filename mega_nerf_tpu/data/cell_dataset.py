@@ -95,10 +95,27 @@ class CellDataset:
         num_chunks: int = 200,
         scale_factor: int = 1,
         disk_flush_size: int = 10_000_000,
+        owned_cells: Optional[Sequence[int]] = None,
     ):
+        """owned_cells: multi-process mode — build streams ONLY for these
+        cells (the cells whose mesh 'cell' blocks this process's devices
+        own). `next_batch` zero-fills the other cells' rows; the full-value
+        placement (`parallel.mesh.shard_batch(with_cell_axis=True)`) only
+        reads each process's addressable slices, so the zeros never reach a
+        device. Filesystem stores become process-PRIVATE per-host per-cell
+        chunk stores (each host writes/reads only its own cells' stores —
+        chunk_paths is per-host scratch). None (default) = single-process /
+        deterministic-all-cells mode: every cell's stream is built here."""
         self.num_cells = len(cell_items)
-        self._streams: List[_CellStream] = []
-        for cell, items in enumerate(cell_items):
+        self.owned_cells: List[int] = (
+            list(range(self.num_cells)) if owned_cells is None
+            else sorted(owned_cells)
+        )
+        assert self.owned_cells, "process owns no cells"
+        private_store = owned_cells is not None
+        self._streams: Dict[int, _CellStream] = {}
+        for cell in self.owned_cells:
+            items = cell_items[cell]
             # Per-cell dataset rng seeded like an independent job would be
             # (Runner._make_dataset uses default_rng(random_seed)); the cell
             # index keeps the val-pixel rebalancing draws distinct per cell.
@@ -115,22 +132,44 @@ class CellDataset:
                     items, near, far, ray_altitude_range, center_pixels,
                     [Path(p) / f"cell{cell}" for p in chunk_paths],
                     num_chunks, scale_factor, disk_flush_size, rng=ds_rng,
+                    process_scope="private" if private_store else "global",
                 )
             else:
                 raise Exception(f"Unrecognized dataset type: {dataset_type}")
-            self._streams.append(_CellStream(ds, seed, cell))
+            self._streams[cell] = _CellStream(ds, seed, cell)
 
     def next_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
-        """One (num_cells, batch_size, ...) batch; cells advance independently."""
-        per_cell = [s.next_batch(batch_size) for s in self._streams]
-        return {
-            k: np.stack([b[k] for b in per_cell]) for k in per_cell[0]
+        """One (num_cells, batch_size, ...) batch; cells advance independently.
+
+        Non-owned cells' rows are zeros (see __init__ — never addressable
+        by this process's devices)."""
+        per_cell = {
+            c: self._streams[c].next_batch(batch_size)
+            for c in self.owned_cells
         }
+        template = per_cell[self.owned_cells[0]]
+        out = {}
+        for k, v in template.items():
+            stacked = np.zeros((self.num_cells,) + v.shape, v.dtype)
+            for c, b in per_cell.items():
+                stacked[c] = b[k]
+            out[k] = stacked
+        return out
 
-    def state(self) -> List[Dict[str, int]]:
-        return [s.state() for s in self._streams]
+    def state(self) -> List[Optional[Dict[str, int]]]:
+        """Per-cell stream positions; None for cells this process doesn't
+        own (CellRunner allgathers the owned entries across processes
+        before checkpointing)."""
+        return [
+            self._streams[c].state() if c in self._streams else None
+            for c in range(self.num_cells)
+        ]
 
-    def set_state(self, states: List[Dict[str, int]], batch_size: int) -> None:
+    def set_state(
+        self, states: List[Optional[Dict[str, int]]], batch_size: int
+    ) -> None:
         assert len(states) == self.num_cells, (len(states), self.num_cells)
-        for stream, st in zip(self._streams, states):
-            stream.set_state(st, batch_size)
+        for cell in self.owned_cells:
+            st = states[cell]
+            assert st is not None, f"no stream state for owned cell {cell}"
+            self._streams[cell].set_state(st, batch_size)

@@ -74,7 +74,18 @@ class FilesystemDataset:
         scale_factor: int,
         disk_flush_size: int,
         rng: Optional[np.random.Generator] = None,
+        process_scope: str = "global",
     ):
+        """process_scope: "global" (default) = the store is shared by all
+        jax processes — rank 0 writes it, everyone barriers, and `batches()`
+        yields each process a disjoint global_batch/P slice (module
+        docstring). "private" = the store belongs to THIS process alone
+        (per-host per-cell stores under a multi-process CellRunner, where
+        each host owns whole cells): this process writes it, no cross-process
+        barriers (which would deadlock — different hosts construct different
+        cell stores), and `batches()` yields full global batches."""
+        assert process_scope in ("global", "private"), process_scope
+        self._private = process_scope == "private"
         self._near = near
         self._far = far
         self._ray_altitude_range = ray_altitude_range
@@ -115,7 +126,10 @@ class FilesystemDataset:
         # filesystem_dataset.py:134,267 + runner.py:196-210). Non-masters must
         # not probe before the barrier: they would race the master's write and
         # see a half-written store.
-        if is_master():
+        if self._private or is_master():
+            # Private stores belong to this process alone — it writes them
+            # and no barrier runs (other processes are constructing OTHER
+            # stores; a global barrier here would deadlock).
             existing = self._check_existing_paths(
                 chunk_paths, center_pixels, scale_factor, len(metadata_items)
             )
@@ -128,7 +142,8 @@ class FilesystemDataset:
                     metadata_items, chunk_paths, num_chunks, scale_factor,
                     disk_flush_size,
                 )
-            sync_processes("chunk_store_written")
+            if not self._private:
+                sync_processes("chunk_store_written")
         else:
             sync_processes("chunk_store_written")
             self._parquet_paths = self._check_existing_paths(
@@ -136,9 +151,10 @@ class FilesystemDataset:
             ) or []
         self._parquet_paths.sort(key=lambda x: x.name)
 
-        # Multi-process feeding mode (see module docstring).
-        self._process_index = jax.process_index()
-        self._process_count = jax.process_count()
+        # Multi-process feeding mode (see module docstring). Private stores
+        # feed only this process: full global batches, no chunk sharding.
+        self._process_index = 0 if self._private else jax.process_index()
+        self._process_count = 1 if self._private else jax.process_count()
         self._chunk_rows = self._load_chunk_rows(chunk_paths)
         self._shard_chunks = (
             self._process_count > 1

@@ -161,6 +161,20 @@ class CellRunner(Runner):
             donate_argnums=(0,),
         )
 
+        owned_cells = None
+        if jax.process_count() > 1:
+            # Each process materializes ONLY its own cells' streams (the
+            # cells whose mesh 'cell' blocks its devices own): non-owned
+            # rows of the full-value (cells, batch) placement are never
+            # addressable here, so building them would be pure waste — and
+            # for filesystem stores it would be WRONG (per-host stores are
+            # process-private; see CellDataset.__init__).
+            owned_cells = self._owned_cells()
+            main_print(
+                f"process {jax.process_index()} owns cells {owned_cells}"
+            )
+            if hp.dataset_type == "filesystem":
+                self._assert_cells_process_aligned()
         dataset = CellDataset(
             self.cell_items, self.near, self.far, self.ray_altitude_range,
             hp.center_pixels, hp.random_seed,
@@ -172,6 +186,7 @@ class CellRunner(Runner):
             num_chunks=hp.num_chunks,
             scale_factor=hp.train_scale_factor,
             disk_flush_size=hp.disk_flush_size,
+            owned_cells=owned_cells,
         )
         if stream_states is not None and hp.resume_ckpt_state:
             dataset.set_state(stream_states, hp.batch_size)
@@ -247,7 +262,8 @@ class CellRunner(Runner):
 
             if train_iterations % hp.ckpt_interval == 0:
                 self._save_cell_checkpoints(
-                    state, train_iterations, dataset.state()
+                    state, train_iterations,
+                    self._global_stream_states(dataset.state()),
                 )
                 # K collective gathers + file IO ran inside the timed
                 # window — same throughput-sample distortion as validation.
@@ -262,7 +278,8 @@ class CellRunner(Runner):
         if pbar is not None:
             pbar.close()
         self._save_cell_checkpoints(
-            state, train_iterations, dataset.state()
+            state, train_iterations,
+            self._global_stream_states(dataset.state()),
         )
         if self.writer is not None:
             self.writer.flush()
@@ -271,6 +288,66 @@ class CellRunner(Runner):
         self.final_state = (
             jax.device_get(state) if jax.process_count() == 1 else None
         )
+
+    # ---------------------------------------------------------- multi-process
+
+    def _owned_cells(self) -> List[int]:
+        """Cells whose parameters/batch rows live on THIS process's devices.
+
+        The stacked state and the (cells, batch) data are sharded over the
+        mesh 'cell' axis; mesh cell-row r owns cells
+        [r*num_cells/cell_axis, (r+1)*...). A process owns every cell of
+        every row containing one of its devices."""
+        cell_axis = self.mesh.devices.shape[0]
+        cpb = self.num_cells // cell_axis
+        pid = jax.process_index()
+        mine = set()
+        for r in range(cell_axis):
+            if any(d.process_index == pid for d in self.mesh.devices[r].flat):
+                mine.update(range(r * cpb, (r + 1) * cpb))
+        return sorted(mine)
+
+    def _assert_cells_process_aligned(self) -> None:
+        """Filesystem cell stores are process-private: every mesh cell-row
+        must belong to exactly one process, else two hosts would feed the
+        same cell from different stores (disjointness unguaranteed)."""
+        for r in range(self.mesh.devices.shape[0]):
+            owners = {d.process_index for d in self.mesh.devices[r].flat}
+            assert len(owners) == 1, (
+                f"mesh cell-row {r} spans processes {sorted(owners)}: "
+                f"filesystem cell stores need the 'cell' axis aligned to "
+                f"process boundaries (use dataset_type=memory, or choose "
+                f"cell_axis a multiple of the process count)"
+            )
+
+    def _global_stream_states(
+        self, states: List[Optional[Dict[str, int]]]
+    ) -> List[Dict[str, int]]:
+        """All-gather per-cell stream positions across processes.
+
+        With owned-cells streams each process only knows its own cells'
+        positions; the master writes EVERY cell's checkpoint, so the owned
+        entries are allgathered (3 ints per cell — negligible). Collective:
+        every process must call (both _save_cell_checkpoints call sites are
+        process-synchronous)."""
+        if all(s is not None for s in states):
+            return states  # single-process / all-owned
+        from jax.experimental import multihost_utils
+
+        arr = np.full((self.num_cells, 3), 0, np.int64)
+        for c, s in enumerate(states):
+            if s is not None:
+                arr[c] = [1, s["epoch"], s["batch_index"]]
+        g = np.asarray(multihost_utils.process_allgather(arr))
+        g = g.reshape(-1, self.num_cells, 3)  # (P, cells, [owned,e,b])
+        out: List[Dict[str, int]] = []
+        for c in range(self.num_cells):
+            rows = g[g[:, c, 0] == 1, c]
+            assert rows.shape[0] > 0, f"no process owns cell {c}'s stream"
+            out.append(
+                {"epoch": int(rows[0][1]), "batch_index": int(rows[0][2])}
+            )
+        return out
 
     # -------------------------------------------------------------- validation
 
