@@ -97,7 +97,7 @@ def _child_health() -> None:
 
 def _make_bench_setup(batch_size: int, use_pallas, layer_dim: int = 256,
                       coarse_samples: int = 256, fine_samples: int = 512,
-                      with_bg: bool = True):
+                      with_bg: bool = True, remat: bool = False):
     """Build (step_fn, state, batch) for the paper-parity train config.
 
     The non-default parameters exist for scripts/train_width_bench.py's
@@ -123,7 +123,7 @@ def _make_bench_setup(batch_size: int, use_pallas, layer_dim: int = 256,
     )
     settings = RenderSettings(
         coarse_samples=coarse_samples, fine_samples=fine_samples,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, remat=remat,
         # A/B hooks for the train-side grouped patterns (off by default;
         # see RenderSettings.train_grouped_cdf / train_grouped_merge).
         train_grouped_cdf=_grouped_cdf_flag(),
@@ -166,18 +166,22 @@ def run_bench_steps(batch_size: int = 1024, n_steps: int = 30,
     Timing is trustworthy over the relay because the donated state chains
     every step on the previous one (see .claude/skills/verify/SKILL.md).
     """
-    import jax
-
     step, state, batch = _make_bench_setup(batch_size, use_pallas, **setup_kw)
     for _ in range(warmup):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics)
+    # Force a SCALAR READBACK, not block_until_ready: on the relayed
+    # backend block_until_ready on the final chained metrics can return
+    # without draining the queue for some programs (observed: 12 chained
+    # 8x2048 train steps "measured" in 2.9 ms where the scalar readback
+    # took 45 s). float() cannot lie — the value must exist.
+    assert float(metrics["loss"]) == float(metrics["loss"])  # drain queue
 
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics)
+    loss = float(metrics["loss"])  # drain before stopping the clock
     dt = time.perf_counter() - t0
+    assert loss == loss, "non-finite loss in bench step"
     return n_steps * batch_size / dt
 
 

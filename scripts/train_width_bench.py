@@ -64,6 +64,10 @@ def main() -> None:
     ap.add_argument("--fine", type=int, default=512)
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--no_bg", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize MLP activations in the backward "
+                         "pass — required to fit the 8x2048 fg+bg family "
+                         "(mega-nerf-dense) in 16 GB HBM at batch 512")
     ap.add_argument("--pallas", type=str, default="auto",
                     choices=["auto", "true", "false"])
     args = ap.parse_args()
@@ -77,6 +81,7 @@ def main() -> None:
             batch_size=args.batch, n_steps=args.steps, use_pallas=use_pallas,
             layer_dim=width, coarse_samples=args.coarse,
             fine_samples=args.fine, with_bg=not args.no_bg,
+            remat=args.remat,
         )
         fpr = train_flops_per_ray(width, args.coarse, args.fine,
                                   not args.no_bg)
