@@ -19,9 +19,13 @@ stage runs in its own watchdogged subprocess):
      transient stalls that clear in minutes). All attempts failing ->
      report path "tpu-unavailable" with value 0 rather than hanging the
      driver.
-  2. XLA-path bench (use_pallas=False): the compile that has never hung
+  2. salted cache prime: compile + run ONE fused train step under a fresh
+     AXON_CASSETTE_SALT — warms and (after a poisoning kill) heals the
+     unsalted compile-cache entry the timed pallas stage will hit, so the
+     headline number never depends on retry luck. Non-fatal on timeout.
+  3. XLA-path bench (use_pallas=False): the compile that has never hung
      here. Its number is banked before anything riskier runs.
-  3. Pallas-path bench (use_pallas="auto", the default train path): tried
+  4. Pallas-path bench (use_pallas="auto", the default train path): tried
      last because killing a hung Mosaic compile can wedge the worker —
      by then the XLA number is already in hand. Reported if faster. On a
      timeout it retries ONCE with a fresh AXON_CASSETTE_SALT: a previous
@@ -66,6 +70,7 @@ HEALTH_RETRIES = 3  # transient relay stalls: a probe that timed out at
 HEALTH_RETRY_SLEEP_S = 25
 XLA_TIMEOUT_S = 200  # fresh-compile of the XLA train step measured ~100-160s
 PALLAS_TIMEOUT_S = 160  # fused-kernel compile measured ~87s fresh
+PRIME_TIMEOUT_S = 220  # salted fresh compile + 1 step (~90s; generous)
 RESULT_TAG = "BENCH_RESULT "
 
 
@@ -169,12 +174,13 @@ def run_bench_steps(batch_size: int = 1024, n_steps: int = 30,
     step, state, batch = _make_bench_setup(batch_size, use_pallas, **setup_kw)
     for _ in range(warmup):
         state, metrics = step(state, batch)
-    # Force a SCALAR READBACK, not block_until_ready: on the relayed
-    # backend block_until_ready on the final chained metrics can return
-    # without draining the queue for some programs (observed: 12 chained
-    # 8x2048 train steps "measured" in 2.9 ms where the scalar readback
-    # took 45 s). float() cannot lie — the value must exist.
-    assert float(metrics["loss"]) == float(metrics["loss"])  # drain queue
+    if warmup:
+        # Force a SCALAR READBACK, not block_until_ready: on the relayed
+        # backend block_until_ready on the final chained metrics can return
+        # without draining the queue for some programs (observed: 12 chained
+        # 8x2048 train steps "measured" in 2.9 ms where the scalar readback
+        # took 45 s). float() cannot lie — the value must exist.
+        assert float(metrics["loss"]) == float(metrics["loss"])  # drain
 
     t0 = time.perf_counter()
     for _ in range(n_steps):
@@ -183,6 +189,19 @@ def run_bench_steps(batch_size: int = 1024, n_steps: int = 30,
     dt = time.perf_counter() - t0
     assert loss == loss, "non-finite loss in bench step"
     return n_steps * batch_size / dt
+
+
+def _child_prime() -> None:
+    """Compile + execute ONE fused-kernel train step (cache priming).
+
+    Run by the parent under a FRESH AXON_CASSETTE_SALT before the timed
+    stages: a previous run killed mid-compile poisons the remote compile
+    cache entry for exactly this program, and a salted compile both
+    bypasses and HEALS the unsalted entry (observed round 3, PERF.md) —
+    so the timed pallas stage never meets a poisoned or cold cache first."""
+    rays_per_sec = run_bench_steps(n_steps=1, warmup=0, use_pallas="auto")
+    print(RESULT_TAG + json.dumps({"primed": True,
+                                   "rays_per_sec": round(rays_per_sec, 1)}))
 
 
 def _child_bench(use_pallas) -> None:
@@ -264,11 +283,15 @@ def _emit(value: float, path: str) -> None:
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--_child", choices=["health", "xla", "pallas"])
+    parser.add_argument("--_child",
+                        choices=["health", "prime", "xla", "pallas"])
     args = parser.parse_args()
 
     if args._child == "health":
         _child_health()
+        return
+    if args._child == "prime":
+        _child_prime()
         return
     if args._child == "xla":
         _child_bench(use_pallas=False)
@@ -290,6 +313,17 @@ def main() -> None:
         # hanging until the driver's timeout.
         _emit(0.0, "tpu-unavailable")
         return
+
+    # Proactive cache prime (salted): compiles + runs one fused train step
+    # under a fresh cassette salt, which both warms and — if a previous
+    # kill poisoned it — heals the unsalted compile-cache entry the timed
+    # pallas stage will hit (PERF.md round-3 episode). Non-fatal: a prime
+    # timeout only means the pallas stage falls back to its own retry.
+    prime, note = _run_child(
+        "prime", PRIME_TIMEOUT_S,
+        extra_env={"AXON_CASSETTE_SALT": f"bench-prime-{int(time.time())}"},
+    )
+    print(f"[bench] {note}", flush=True)
 
     best, best_path = 0.0, "failed"
     xla, note = _run_child("xla", XLA_TIMEOUT_S)

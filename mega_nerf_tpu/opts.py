@@ -110,6 +110,11 @@ def get_opts_base() -> argparse.ArgumentParser:
                         help='replicate the reference packed-input direction '
                              'quirk for parity with its appearance-less '
                              'pretrained models (see NeRFConfig.ref_packed_dirs)')
+    parser.add_argument('--render_dispatch_depth', type=int, default=2,
+                        help='image-render chunks kept in flight: the device '
+                             'computes chunk i+1 while chunk i streams back '
+                             'to the host (Runner.render_image). 1 = the '
+                             'reference\'s serial dispatch->readback loop')
     parser.add_argument('--ref_bg_sampling', default=False, action='store_true',
                         help='replicate the reference bg fine-sampling quirk '
                              '(descending-order coarse weights paired with '

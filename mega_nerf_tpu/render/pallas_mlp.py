@@ -266,6 +266,7 @@ class EncodeLayout:
 
     d_total: int
     live_cols: int
+    groups: Tuple[Tuple[int, int], ...]  # ((d, num_freqs), ...)
     colsrc: Tuple[int, ...]
     scale: Tuple[float, ...]
     phase: Tuple[float, ...]
@@ -279,19 +280,6 @@ class EncodeLayout:
             np.asarray(self.kind, np.int32),
         )
 
-    def meta_tile(self) -> np.ndarray:
-        """(8, width) f32 tile of the per-column constants, passed to the
-        kernel as an INPUT (Pallas kernels cannot close over arrays):
-        row 0 = source-coordinate index, row 1 = scale, row 2 = phase,
-        row 3 = trig mask (1.0 = sin column). 8 sublanes = the f32 min
-        tile; rows 4-7 are zero padding."""
-        colsrc, scale, phase, kind = self.np_arrays()
-        meta = np.zeros((8, len(self.colsrc)), np.float32)
-        meta[0] = colsrc.astype(np.float32)
-        meta[1] = scale
-        meta[2] = phase
-        meta[3] = kind.astype(np.float32)
-        return meta
 
 
 def encode_layout(
@@ -323,6 +311,7 @@ def encode_layout(
     return EncodeLayout(
         d_total=base,
         live_cols=col,
+        groups=tuple((int(d), int(nf)) for d, nf in groups),
         colsrc=tuple(int(v) for v in colsrc),
         scale=tuple(float(v) for v in scale),
         phase=tuple(float(v) for v in phase),
@@ -423,21 +412,24 @@ def _mlp_kernel(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_pad: int,
       (lane-padded, compute dtype). That pass materializes a (M, 128)
       tile to HBM that the kernel immediately re-reads.
     - `encode` set (eval path): the first ref holds RAW coordinates
-      ((block, 8) f32 — xyz|dirs packed) followed by an (8, enc_pad)
-      per-column constants tile (`EncodeLayout.meta_tile` — Pallas
-      kernels cannot close over arrays, so the masks ride as an input),
-      and the encoding is computed HERE, lane-wide: per-coordinate column
-      broadcasts via constant-mask selects, one scale multiply, one
-      full-width sin. This keeps every op on all 128 lanes (the naive
-      in-kernel encode on (block, 3) vectors used 3 lanes and collapsed
-      throughput 4x — measured 30ms vs 7.6ms at block=4096) while cutting
-      the input stream from 256 B/point (bf16 tile) to 32 B/point and
-      deleting the XLA pass's HBM round-trip entirely; the VPU encode
-      overlaps the MXU-bound trunk.
+      ((block, 8) f32 — xyz|dirs packed) and the encoding is computed
+      HERE, lane-wide: per-coordinate column broadcasts via constant-mask
+      selects, one scale multiply, one full-width sin. The per-column
+      colsrc/scale/phase/kind constants are emitted as COMPILE-TIME
+      literal arrays from the static `encode` layout (round 3 passed them
+      as a runtime (8, enc_pad) input tile — "kernels can't close over
+      arrays" is true of TRACED arrays, not numpy literals — which kept
+      Mosaic from folding the masks and made the in-kernel encode ~25
+      runtime VPU ops/element, measured SLOWER than the XLA pre-encode).
+      Lane-wide keeps every op on all 128 lanes (the naive in-kernel
+      encode on (block, 3) vectors used 3 lanes and collapsed throughput
+      4x — measured 30ms vs 7.6ms at block=4096) while cutting the input
+      stream from 256 B/point (bf16 tile) to 32 B/point and deleting the
+      XLA pass's HBM round-trip entirely; the VPU encode overlaps the
+      MXU-bound trunk.
     """
     it = iter(refs)
     enc_ref = next(it)
-    enc_meta_ref = next(it) if encode is not None else None
     dir_enc_ref = (
         next(it) if (cfg.pos_dir_dim > 0 and not dir_packed) else None
     )
@@ -453,15 +445,51 @@ def _mlp_kernel(cfg: NeRFConfig, enc_pad: int, dir_pad: int, app_pad: int,
 
     cd = compute_dtype
     if encode is not None:
+        # In-kernel encode from COMPILE-TIME constants. Pallas kernels may
+        # not capture constant ARRAYS ("pass them as inputs" — the round-3
+        # variant did exactly that and the runtime meta tile kept Mosaic
+        # from folding anything), but iota arithmetic against Python-int
+        # group bounds expresses the same per-lane constants foldably:
+        # within a group (d coords, nf freqs) starting at column g0, block
+        # j = (lane-g0)//d is [raw | k0-sin | k0-cos | k1-sin | ...], the
+        # source coordinate is (lane-g0) mod d, the scale is 2^((j-1)//2)
+        # (built EXACTLY by bit-casting (k+127)<<23 — exp2 would round),
+        # and the phase is pi/2 on odd j-1 (cos columns). Bit-identical to
+        # the XLA pre-encode: the scale multiply is by a power of two and
+        # the select/sin chain is the same f32 math.
         raw = enc_ref[...].astype(jnp.float32)  # (B, raw_width)
-        meta = enc_meta_ref[...]  # (8, enc_pad) f32 — see meta_tile
         b = raw.shape[0]
-        colv = meta[0:1, :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, enc_pad), 1)
         xp = jnp.zeros((b, enc_pad), jnp.float32)
-        for c in range(encode.d_total):
-            xp = jnp.where(colv == float(c), raw[:, c : c + 1], xp)
-        xp = xp * meta[1:2, :] + meta[2:3, :]
-        enc = jnp.where(meta[3:4, :] == 1.0, jnp.sin(xp), xp).astype(cd)
+        scale = jnp.ones((1, enc_pad), jnp.float32)
+        phase = jnp.zeros((1, enc_pad), jnp.float32)
+        kind = jnp.zeros((1, enc_pad), jnp.bool_)
+        g0 = 0
+        base = 0
+        for d, nf in encode.groups:
+            width = d * (1 + 2 * nf)
+            rel = jnp.maximum(lane - g0, 0)
+            in_g = (lane >= g0) & (lane < g0 + width)
+            j = rel // d
+            r = rel - j * d
+            for c in range(d):
+                xp = jnp.where(
+                    in_g & (r == c), raw[:, base + c : base + c + 1], xp
+                )
+            k = jnp.maximum(j - 1, 0) // 2
+            pow2k = jax.lax.bitcast_convert_type(
+                (k + 127) << 23, jnp.float32
+            )
+            trig = in_g & (j >= 1)
+            scale = jnp.where(trig, pow2k, scale)
+            phase = jnp.where(
+                trig & ((j - 1) % 2 == 1), jnp.float32(np.pi / 2), phase
+            )
+            kind = kind | trig
+            g0 += width
+            base += d
+        xp = xp * scale + phase
+        enc = jnp.where(kind, jnp.sin(xp), xp).astype(cd)
     else:
         enc = enc_ref[...].astype(cd)
     h = enc
@@ -550,14 +578,13 @@ def fused_nerf_eval(
     lane-padded tile is streamed into the kernel.
 
     `encode_in_kernel=True` instead streams the raw coordinates ((M, 8)
-    f32) plus a per-column constants tile and computes the encode inside
-    the kernel (see `_mlp_kernel`). Measured on v5e at the paper eval
-    chunk: SLOWER end to end (367 vs 331 ms) — the select/broadcast
-    chain runs ~25 VPU ops per output element from RUNTIME meta inputs,
-    where the XLA pre-encode folds the column masks at compile time; the
-    saved (M, 128) HBM round-trip (~12 ms) doesn't cover the ~60 ms of
-    extra in-kernel VPU time. Kept as an opt-in (bit-identical, tested)
-    for future hardware where the balance shifts.
+    f32) and computes the encode inside the kernel from COMPILE-TIME
+    per-column constants (see `_mlp_kernel`). History: the round-3
+    variant passed the constants as a runtime (8, enc_pad) meta-tile
+    input, which kept Mosaic from folding the masks and measured SLOWER
+    end to end (367 vs 331 ms) despite cutting input HBM 8x; this
+    compile-time-literal rework removes that penalty — measure per
+    deployment (`scripts/eval_bench.py --encode_in_kernel`).
     Replicates the reference packed-dirs quirk when cfg.ref_packed_dirs.
     """
     cfg = packed.config
@@ -602,9 +629,10 @@ def fused_nerf_eval(
         layout = encode_layout(groups, packed.enc_pad)
         raw_w = _round_up(layout.d_total, 8)
         raw = jnp.pad(raw, ((0, 0), (0, raw_w - layout.d_total)))
-        meta = jnp.asarray(layout.meta_tile())
-        inputs = [raw, meta]
-        in_specs = [point_spec(raw_w), weight_spec(meta)]
+        # The per-column constants live INSIDE the kernel as compile-time
+        # literals (see _mlp_kernel) — raw coordinates are the only input.
+        inputs = [raw]
+        in_specs = [point_spec(raw_w)]
     elif packed.dir_packed:
         # Position + direction encodings in ONE pass and ONE stream.
         enc = _freq_encode_groups(

@@ -781,16 +781,32 @@ class Runner:
         if image_indices is not None:
             image_indices = jax.device_put(image_indices, self._eval_sharded)
         results: Dict[str, List[np.ndarray]] = {}
+
+        def drain(out) -> None:
+            out = jax.device_get(out)
+            for k, v in out.items():
+                results.setdefault(k, []).append(np.asarray(v))
+
+        # Double-buffered dispatch: keep `depth` chunks in flight so the
+        # device computes chunk i+1 (and the relay's dispatch latency is
+        # paid) WHILE chunk i's results stream back through device_get.
+        # The old dispatch->get->dispatch loop serialized compute, transfer
+        # and round-trip latency per chunk (142 s for 2 frames, PERF.md).
+        from collections import deque
+
+        depth = max(1, int(getattr(hp, "render_dispatch_depth", 2)))
+        pending: deque = deque()
         for start in range(0, n_padded, chunk):
-            out = render_fn(
+            pending.append(render_fn(
                 fg_params,
                 bg_params,
                 jax.device_put(rays[start : start + chunk], self._eval_sharded),
                 image_indices,
-            )
-            out = jax.device_get(out)
-            for k, v in out.items():
-                results.setdefault(k, []).append(np.asarray(v))
+            ))
+            if len(pending) > depth:
+                drain(pending.popleft())
+        while pending:
+            drain(pending.popleft())
 
         return {k: np.concatenate(v)[:n] for k, v in results.items()}
 

@@ -32,6 +32,10 @@ def main() -> None:
     ap.add_argument("--xla", action="store_true", help="force the XLA path")
     ap.add_argument("--pre_encode", action="store_true",
                     help="A/B: force the XLA pre-encode feeding the kernel")
+    ap.add_argument("--encode_in_kernel", action="store_true",
+                    help="compute the frequency encode inside the fused "
+                         "kernel from compile-time iota constants (round-4 "
+                         "rework of the round-3 runtime-meta negative)")
     ap.add_argument("--no_bg", action="store_true")
     ap.add_argument("--layer_dim", type=int, default=256,
                     help="trunk width (2048 = the mega-nerf-dense family)")
@@ -90,13 +94,15 @@ def main() -> None:
     sphere_center = jnp.zeros((3,))
     sphere_radius = jnp.ones((3,))
 
-    if args.pre_encode:
+    if args.pre_encode or args.encode_in_kernel:
+        assert not (args.pre_encode and args.encode_in_kernel)
         import functools
 
         from mega_nerf_tpu.render import pallas_mlp
 
         pallas_mlp.fused_nerf_eval = functools.partial(
-            pallas_mlp.fused_nerf_eval, encode_in_kernel=False
+            pallas_mlp.fused_nerf_eval,
+            encode_in_kernel=bool(args.encode_in_kernel),
         )
         from mega_nerf_tpu.render import rendering as _r
 

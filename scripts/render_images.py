@@ -80,24 +80,14 @@ def _render_images(hparams: Namespace) -> None:
     ]
     state = runner.make_eval_state()
 
-    for i in main_tqdm(np.arange(rank, len(c2ws), world_size)):
-        i = int(i)
-        cell_path = output / "cells" / f"{i:06d}.jpg"
-        if hparams.resume and cell_path.exists():
-            try:
-                np.array(Image.open(cell_path))  # last artifact written: valid?
-                print(f"skipping {cell_path}")
-                continue
-            except Exception:
-                traceback.print_exc()
+    def postprocess(i, metadata, results, cell_path):
+        """Host-side compositing + disk writes for one rendered frame.
 
-        w, h = int(intrinsics[i][0]), int(intrinsics[i][1])
-        metadata = ImageMetadata(
-            Path(""), c2ws[i], w, h,
-            np.asarray(intrinsics[i][2:], np.float32), embeddings[i], None,
-            False,
-        )
-        results = runner.render_image(metadata, state)
+        Pure numpy/PIL/cv2 over host arrays — runs on a background thread
+        so frame i's encoding/colormap/cell-cdist overlaps frame i+1's
+        device rendering (the reference serializes these,
+        `render_images.py:92-129`)."""
+        w, h = metadata.W, metadata.H
         typ = "fine" if "rgb_fine" in results else "coarse"
 
         rgbs = (
@@ -147,7 +137,43 @@ def _render_images(hparams: Namespace) -> None:
             cv2.COLOR_BGR2RGB,
         )
         blended = cv2.addWeighted(rgbs, 0.7, overlay, 0.3, 0)
+        # The cell overlay is written LAST: --resume probes it as the
+        # "frame complete" marker, so every other artifact must already be
+        # on disk when it appears.
         Image.fromarray(blended.astype(np.uint8)).save(cell_path)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    post = ThreadPoolExecutor(max_workers=1)  # keep frame writes ordered
+    post_future = None
+    try:
+        for i in main_tqdm(np.arange(rank, len(c2ws), world_size)):
+            i = int(i)
+            cell_path = output / "cells" / f"{i:06d}.jpg"
+            if hparams.resume and cell_path.exists():
+                try:
+                    np.array(Image.open(cell_path))  # last artifact: valid?
+                    print(f"skipping {cell_path}")
+                    continue
+                except Exception:
+                    traceback.print_exc()
+
+            w, h = int(intrinsics[i][0]), int(intrinsics[i][1])
+            metadata = ImageMetadata(
+                Path(""), c2ws[i], w, h,
+                np.asarray(intrinsics[i][2:], np.float32), embeddings[i], None,
+                False,
+            )
+            results = runner.render_image(metadata, state)
+            if post_future is not None:
+                post_future.result()  # surface errors; keep one in flight
+            post_future = post.submit(
+                postprocess, i, metadata, results, cell_path
+            )
+        if post_future is not None:
+            post_future.result()
+    finally:
+        post.shutdown(wait=True)
 
 
 def main(hparams: Namespace) -> None:

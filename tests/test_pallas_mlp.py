@@ -64,7 +64,7 @@ def test_fused_matches_flax_paper_arch():
 
 
 def test_in_kernel_encode_matches_pre_encode():
-    """encode_in_kernel=True (raw coords + meta tile into the kernel) must
+    """encode_in_kernel=True (raw coords in, compile-time constant encode) must
     be bit-identical to the XLA pre-encode path: both compute the same
     select/scale/sin formulation in f32 before the compute-dtype cast."""
     for hp_kw, app_count in (
