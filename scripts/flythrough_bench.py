@@ -1,0 +1,135 @@
+"""Flythrough (render_images.py) frames/s benchmark on a merged container.
+
+Builds a poses/intrinsics/embeddings input dir from a dataset pose
+(optionally upscaled to a production-like frame size), runs the REAL
+`scripts/render_images.py` path end to end, and reports steady-state
+frames/s (first frame excluded — it pays the eval-fn compile) for the
+pipelined loop (`--render_dispatch_depth` chunks in flight + background
+frame compositing) vs the reference-style serial loop (depth 1).
+
+Reference analogue: `/root/reference/mega_nerf/runner.py:540-587` +
+`/root/reference/scripts/render_images.py:80-129` (strictly serial).
+
+Usage: python scripts/flythrough_bench.py --container <merged.ckpt>
+    --dataset_path <ds> --centroids_path <masks/params.pt>
+    [--frames 10] [--upscale 4] [--depths 2 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--container", type=str, required=True)
+    ap.add_argument("--dataset_path", type=str, required=True)
+    ap.add_argument("--centroids_path", type=str, required=True)
+    ap.add_argument("--workdir", type=str, default=".exp/flythrough_bench")
+    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--upscale", type=int, default=4,
+                    help="scale the dataset pose's W/H/intrinsics by this "
+                         "factor — production flythroughs render full-res "
+                         "frames, not training crops")
+    ap.add_argument("--depths", type=int, nargs="+", default=[2, 1],
+                    help="render_dispatch_depth values to A/B")
+    ap.add_argument("--near", type=float, default=0.5)
+    ap.add_argument("--ray_altitude_range", type=float, nargs=2,
+                    default=[-2.0, 2.0])
+    ap.add_argument("--model_args", type=str, default=(
+        "--coarse_samples 256 --fine_samples 512 "
+        "--pos_xyz_dim 12 --pos_dir_dim 4 --layers 8 --skip_layers 4 "
+        "--layer_dim 256 --bg_layer_dim 256 --appearance_dim 48"
+    ), help="whitespace-separated model flags (one string)")
+    args = ap.parse_args()
+    args.model_args = args.model_args.split()
+
+    import scripts.render_images as ri
+    from mega_nerf_tpu.data.torch_io import load_pt
+    from mega_nerf_tpu.opts import get_opts_base, parse_opts
+
+    work = Path(args.workdir)
+    ds = Path(args.dataset_path)
+    meta = load_pt(next((ds / "train" / "metadata").glob("*.pt")))
+    c2w = np.asarray(meta["c2w"]).reshape(-1)
+    fx, fy, cx, cy = [float(v) for v in np.asarray(meta["intrinsics"])]
+    w, h = int(meta["W"]) * args.upscale, int(meta["H"]) * args.upscale
+    fx, fy, cx, cy = (v * args.upscale for v in (fx, fy, cx, cy))
+
+    fly = work / "input"
+    if fly.exists():
+        shutil.rmtree(fly)
+    fly.mkdir(parents=True)
+    fly.joinpath("poses.txt").write_text(
+        "\n".join(" ".join(str(v) for v in c2w)
+                  for _ in range(args.frames)) + "\n"
+    )
+    fly.joinpath("intrinsics.txt").write_text(
+        f"{w} {h} {fx} {fy} {cx} {cy}\n" * args.frames
+    )
+    fly.joinpath("embeddings.txt").write_text(
+        "\n".join("0" for _ in range(args.frames)) + "\n"
+    )
+
+    results = {}
+    for depth in args.depths:
+        out = work / f"frames_d{depth}"
+        if out.exists():
+            shutil.rmtree(out)
+        rhp = parse_opts(get_opts_base(), [
+            "--near", str(args.near),
+            "--ray_altitude_range", *[str(v) for v in args.ray_altitude_range],
+        ] + args.model_args + [
+            "--container_path", args.container,
+            "--val_scale_factor", "1",
+            "--compute_dtype", "bfloat16",
+            "--render_dispatch_depth", str(depth),
+        ])
+        rhp.input = str(fly)
+        rhp.output = str(out)
+        rhp.dataset_path = str(ds)
+        rhp.centroids_path = args.centroids_path
+        rhp.save_depth_npz = False
+        rhp.resume = False
+
+        # Frame timestamps from the written artifacts: the cell overlay is
+        # each frame's LAST write, so successive mtimes bound per-frame wall.
+        # Wall-clock (time.time) throughout — mtimes are epoch-based.
+        t0 = time.time()
+        ri.main(rhp)
+        total = time.time() - t0
+        mtimes = sorted(
+            p.stat().st_mtime for p in (out / "cells").glob("*.jpg")
+        )
+        n = len(mtimes)
+        steady = (
+            (mtimes[-1] - mtimes[0]) / (n - 1) if n > 1 else float("nan")
+        )
+        results[f"depth{depth}"] = {
+            "frames": n,
+            "total_s": round(total, 1),
+            "first_frame_s": round(mtimes[0] - t0, 1) if n else None,
+            "steady_s_per_frame": round(steady, 2),
+            "steady_fps": round(1.0 / steady, 3) if steady == steady else None,
+        }
+        print(f"depth={depth}:", json.dumps(results[f"depth{depth}"]),
+              flush=True)
+
+    print(json.dumps({
+        "metric": "flythrough_frames_per_sec",
+        "frame_px": [w, h],
+        "results": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()
