@@ -132,6 +132,30 @@ def test_eval_render_shards_over_local_devices(trained):
     assert runner._eval_params_cache[0] == placed_id
 
 
+def test_render_dispatch_depth_equivalence(trained):
+    """The pipelined render loop (render_dispatch_depth > 1 keeps chunks in
+    flight while earlier results stream back) must return byte-identical
+    images to the one-in-flight loop — chunk order is preserved by the
+    FIFO drain regardless of depth. The reference loop is strictly serial
+    (`runner.py:568-587`)."""
+    _, _, hp, runner = trained
+    meta = runner.val_items[0]
+    # Force multiple chunks per image so depth actually matters
+    # (24x24 = 576 rays; 128-ray chunks -> 5 padded chunks).
+    old_pix, old_depth = hp.image_pixel_batch_size, hp.render_dispatch_depth
+    try:
+        hp.image_pixel_batch_size = 128
+        hp.render_dispatch_depth = 1
+        serial = runner.render_image(meta, runner.final_state)
+        hp.render_dispatch_depth = 3
+        piped = runner.render_image(meta, runner.final_state)
+    finally:
+        hp.image_pixel_batch_size, hp.render_dispatch_depth = old_pix, old_depth
+    assert serial.keys() == piped.keys()
+    for k in serial:
+        np.testing.assert_array_equal(serial[k], piped[k], err_msg=k)
+
+
 def test_reference_torch_checkpoint_import(trained, tmp_path):
     """--ckpt_path accepts a reference torch `{iter}.pt` training checkpoint
     (reference `runner.py:173-188,519-538`): weights import directly into
