@@ -19,19 +19,26 @@ stage runs in its own watchdogged subprocess):
      transient stalls that clear in minutes). All attempts failing ->
      report path "tpu-unavailable" with value 0 rather than hanging the
      driver.
-  2. salted cache prime: compile + run ONE fused train step under a fresh
-     AXON_CASSETTE_SALT — warms and (after a poisoning kill) heals the
-     unsalted compile-cache entry the timed pallas stage will hit, so the
-     headline number never depends on retry luck. Non-fatal on timeout.
-  3. XLA-path bench (use_pallas=False): the compile that has never hung
-     here. Its number is banked before anything riskier runs.
-  4. Pallas-path bench (use_pallas="auto", the default train path): tried
-     last because killing a hung Mosaic compile can wedge the worker —
-     by then the XLA number is already in hand. Reported if faster. On a
-     timeout it retries ONCE with a fresh AXON_CASSETTE_SALT: a previous
-     bench killed mid-compile poisons the remote compile-cache entry for
-     exactly this program (observed after round 2's driver timeout), and
-     salting the cache key is the documented heal.
+  2+3. XLA-path bench (use_pallas=False), prime-then-measure: a prime
+     child compiles + runs ONE step under this invocation's fresh
+     AXON_CASSETTE_SALT, then the timed child runs under the SAME salt —
+     targeting the exact compile-cache entry the prime just wrote, so the
+     timed stage should never meet a cold or poisoned cache. (The round-3
+     design primed under a salt but timed UNSALTED, hoping the salted
+     compile healed the unsalted entry — measured NOT reliable: in a
+     round-4 validation run the prime passed in 143 s and the unsalted
+     pallas stage still timed out.) If the prime itself times out, the
+     timed stage falls back to the unsalted key (the salted entry is now
+     the poisoned one). Caveat, measured on a degraded relay: a same-salt
+     timed stage was observed to run fresh-compile-slow despite its prime
+     passing — the remote cache hit is NOT guaranteed cross-process, so
+     every timed budget is sized for a full fresh compile and the retry
+     below stays load-bearing.
+  4+5. Pallas-path bench (use_pallas="auto", the default train path),
+     same prime-then-measure under the shared salt. Tried last because
+     killing a hung Mosaic compile can wedge the worker — by then the
+     XLA number is already in hand. Reported if faster. On a timeout it
+     still retries ONCE with a fresh salt (the round-3 heal path).
 
 Child invocations (`--_child ...`) print `BENCH_RESULT {json}` on success;
 the parent never imports jax.
@@ -68,9 +75,14 @@ HEALTH_TIMEOUT_S = 60
 HEALTH_RETRIES = 3  # transient relay stalls: a probe that timed out at
                     # 120 s passed in 1.8 s two minutes later (observed)
 HEALTH_RETRY_SLEEP_S = 25
-XLA_TIMEOUT_S = 200  # fresh-compile of the XLA train step measured ~100-160s
-PALLAS_TIMEOUT_S = 160  # fused-kernel compile measured ~87s fresh
-PRIME_TIMEOUT_S = 220  # salted fresh compile + 1 step (~90s; generous)
+# Timeouts sized off the round-4 validation run on a DEGRADED relay (the
+# worst observed): salted fresh XLA compile >220 s, salted fresh Mosaic
+# compile 101-140 s, and a same-salt timed stage that still took >160 s
+# even though its prime had just written the cache entry — so each timed
+# budget must cover a full fresh compile, not just a cache hit.
+XLA_TIMEOUT_S = 260
+PALLAS_TIMEOUT_S = 220
+PRIME_TIMEOUT_S = 280
 RESULT_TAG = "BENCH_RESULT "
 
 
@@ -191,15 +203,14 @@ def run_bench_steps(batch_size: int = 1024, n_steps: int = 30,
     return n_steps * batch_size / dt
 
 
-def _child_prime() -> None:
-    """Compile + execute ONE fused-kernel train step (cache priming).
+def _child_prime(use_pallas) -> None:
+    """Compile + execute ONE train step (cache priming).
 
-    Run by the parent under a FRESH AXON_CASSETTE_SALT before the timed
-    stages: a previous run killed mid-compile poisons the remote compile
-    cache entry for exactly this program, and a salted compile both
-    bypasses and HEALS the unsalted entry (observed round 3, PERF.md) —
-    so the timed pallas stage never meets a poisoned or cold cache first."""
-    rays_per_sec = run_bench_steps(n_steps=1, warmup=0, use_pallas="auto")
+    Run by the parent under this invocation's AXON_CASSETTE_SALT before
+    the matching timed stage, which runs under the SAME salt and so hits
+    the exact compile-cache entry written here. A fresh salt guarantees
+    the entry cannot have been poisoned by an earlier killed compile."""
+    rays_per_sec = run_bench_steps(n_steps=1, warmup=0, use_pallas=use_pallas)
     print(RESULT_TAG + json.dumps({"primed": True,
                                    "rays_per_sec": round(rays_per_sec, 1)}))
 
@@ -284,14 +295,18 @@ def _emit(value: float, path: str) -> None:
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--_child",
-                        choices=["health", "prime", "xla", "pallas"])
+                        choices=["health", "prime_xla", "prime_pallas",
+                                 "xla", "pallas"])
     args = parser.parse_args()
 
     if args._child == "health":
         _child_health()
         return
-    if args._child == "prime":
-        _child_prime()
+    if args._child == "prime_xla":
+        _child_prime(use_pallas=False)
+        return
+    if args._child == "prime_pallas":
+        _child_prime(use_pallas="auto")
         return
     if args._child == "xla":
         _child_bench(use_pallas=False)
@@ -314,38 +329,41 @@ def main() -> None:
         _emit(0.0, "tpu-unavailable")
         return
 
-    # Proactive cache prime (salted): compiles + runs one fused train step
-    # under a fresh cassette salt, which both warms and — if a previous
-    # kill poisoned it — heals the unsalted compile-cache entry the timed
-    # pallas stage will hit (PERF.md round-3 episode). Non-fatal: a prime
-    # timeout only means the pallas stage falls back to its own retry.
-    prime, note = _run_child(
-        "prime", PRIME_TIMEOUT_S,
-        extra_env={"AXON_CASSETTE_SALT": f"bench-prime-{int(time.time())}"},
-    )
-    print(f"[bench] {note}", flush=True)
+    # Prime-then-measure under ONE shared fresh salt: each timed stage
+    # runs under the same cassette salt its prime child compiled under,
+    # so it hits the exact (guaranteed-unpoisoned) cache entry the prime
+    # wrote. A fresh salt is used per invocation so an earlier killed
+    # compile can never have poisoned it. If a PRIME times out, its own
+    # salted entry is now the suspect one — the timed stage then falls
+    # back to the unsalted key (the pre-round-4 behavior).
+    salt = f"bench-{int(time.time())}"
+    salt_env = {"AXON_CASSETTE_SALT": salt}
+
+    def primed_stage(name: str, timeout_s: int):
+        prime, note = _run_child(f"prime_{name}", PRIME_TIMEOUT_S,
+                                 extra_env=salt_env)
+        print(f"[bench] {note} (salt={salt})", flush=True)
+        env = salt_env if prime is not None else None
+        result, note = _run_child(name, timeout_s, extra_env=env)
+        print(f"[bench] {note}", flush=True)
+        return result, note
 
     best, best_path = 0.0, "failed"
-    xla, note = _run_child("xla", XLA_TIMEOUT_S)
-    print(f"[bench] {note}", flush=True)
+    xla, _ = primed_stage("xla", XLA_TIMEOUT_S)
     if xla is not None:
         best, best_path = xla["rays_per_sec"], "xla"
 
-    pallas, note = _run_child("pallas", PALLAS_TIMEOUT_S)
-    print(f"[bench] {note}", flush=True)
+    pallas, note = primed_stage("pallas", PALLAS_TIMEOUT_S)
     if pallas is None and "timed out" in note:
-        # A bench run killed mid-compile (e.g. the round-2 driver timeout)
-        # poisons the remote compile cache entry for THIS exact program:
-        # every later unsalted compile of it hangs while everything else is
-        # fine. AXON_CASSETTE_SALT hashes into the cache key, forcing a
-        # fresh entry — observed to compile in ~90 s and heal the unsalted
-        # path for subsequent runs.
-        salt = f"bench-heal-{int(time.time())}"
+        # Last-ditch heal (round-3 episode): a fresh salt forces a fresh
+        # compile-cache entry — observed to compile in ~90-190 s where the
+        # poisoned entry hangs indefinitely.
+        heal = f"bench-heal-{int(time.time())}"
         pallas, note = _run_child(
             "pallas", PALLAS_TIMEOUT_S + 60,
-            extra_env={"AXON_CASSETTE_SALT": salt},
+            extra_env={"AXON_CASSETTE_SALT": heal},
         )
-        print(f"[bench] salted retry ({salt}): {note}", flush=True)
+        print(f"[bench] salted retry ({heal}): {note}", flush=True)
     if pallas is not None and pallas["rays_per_sec"] > best:
         best, best_path = pallas["rays_per_sec"], "pallas-fused"
 

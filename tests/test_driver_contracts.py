@@ -71,21 +71,20 @@ def test_bench_parent_health_retries(capsys, monkeypatch):
     # A transient relay stall (observed: a probe that timed out at 120 s
     # passed 2 min later) must not produce "tpu-unavailable": the health
     # stage retries before giving up, and a late success proceeds to the
-    # bench stages.
+    # prime-then-measure bench stages.
     monkeypatch.setattr(bench, "HEALTH_RETRY_SLEEP_S", 0)
-    calls = []
-
-    salted = []
+    calls = []  # (mode, salt-or-None) in invocation order
 
     def fake_run_child(mode, timeout_s, extra_env=None):
-        calls.append(mode)
-        if extra_env:
-            salted.append(extra_env)
+        salt = (extra_env or {}).get("AXON_CASSETTE_SALT")
+        calls.append((mode, salt))
         if mode == "health":
             # first attempt stalls, second succeeds
-            if calls.count("health") == 1:
+            if sum(1 for m, _ in calls if m == "health") == 1:
                 return None, "health: timed out after 60s"
             return {"ok": True}, "health: ok in 2s"
+        if mode in ("prime_xla", "prime_pallas"):
+            return {"primed": True}, f"{mode}: ok"
         if mode == "xla":
             return {"rays_per_sec": 100.0}, "xla: ok"
         return None, "pallas: timed out after 160s"
@@ -95,12 +94,50 @@ def test_bench_parent_health_retries(capsys, monkeypatch):
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()
     parsed = json.loads(out[-1])
-    assert calls.count("health") == 2
+    modes = [m for m, _ in calls]
+    assert modes.count("health") == 2
     assert parsed["value"] == 100.0 and parsed["path"] == "xla"
-    # A pallas timeout must trigger exactly one salted (poisoned compile
-    # cache heal) retry.
-    assert calls.count("pallas") == 2
-    assert len(salted) == 1 and "AXON_CASSETTE_SALT" in salted[0]
+    # Prime-then-measure: every prime and its timed stage share ONE salt,
+    # so the timed stage hits exactly the cache entry the prime wrote.
+    salts = dict()
+    for m, s in calls:
+        salts.setdefault(m, []).append(s)
+    shared = salts["prime_xla"][0]
+    assert shared is not None
+    assert salts["xla"] == [shared]
+    assert salts["prime_pallas"] == [shared]
+    # A pallas timeout must trigger exactly one retry under a FRESH salt
+    # (the poisoned-compile-cache heal).
+    assert modes.count("pallas") == 2
+    assert salts["pallas"][0] == shared
+    assert salts["pallas"][1] is not None and salts["pallas"][1] != shared
+
+
+def test_bench_prime_timeout_falls_back_unsalted(capsys, monkeypatch):
+    # If a PRIME times out, its salted cache entry is now the suspect one:
+    # the timed stage must fall back to the unsalted key rather than walk
+    # into the entry the killed prime just poisoned.
+    monkeypatch.setattr(bench, "HEALTH_RETRY_SLEEP_S", 0)
+    calls = []
+
+    def fake_run_child(mode, timeout_s, extra_env=None):
+        salt = (extra_env or {}).get("AXON_CASSETTE_SALT")
+        calls.append((mode, salt))
+        if mode == "health":
+            return {"ok": True}, "health: ok in 2s"
+        if mode in ("prime_xla", "prime_pallas"):
+            return None, f"{mode}: timed out after 220s"
+        if mode == "xla":
+            return {"rays_per_sec": 100.0}, "xla: ok"
+        return {"rays_per_sec": 200.0}, "pallas: ok"
+
+    monkeypatch.setattr(bench, "_run_child", fake_run_child)
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench.main()
+    parsed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert parsed["value"] == 200.0 and parsed["path"] == "pallas-fused"
+    timed = {m: s for m, s in calls if m in ("xla", "pallas")}
+    assert timed == {"xla": None, "pallas": None}
 
     # All health attempts failing -> honest zero, no bench stages run.
     calls.clear()
