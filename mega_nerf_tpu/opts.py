@@ -115,6 +115,15 @@ def get_opts_base() -> argparse.ArgumentParser:
                              'computes chunk i+1 while chunk i streams back '
                              'to the host (Runner.render_image). 1 = the '
                              'reference\'s serial dispatch->readback loop')
+    parser.add_argument('--no_cell_cull', dest='cell_cull', default=True,
+                        action='store_false',
+                        help='disable exact per-chunk submodule culling for '
+                             'merged MegaNeRF rendering (render/cell_cull.py: '
+                             'drops submodules whose routing weight is '
+                             'provably zero everywhere in a ray chunk\'s '
+                             'sample box — identical images, fewer MLP '
+                             'passes). Escape hatch; outputs are exact '
+                             'either way')
     parser.add_argument('--ref_bg_sampling', default=False, action='store_true',
                         help='replicate the reference bg fine-sampling quirk '
                              '(descending-order coarse weights paired with '

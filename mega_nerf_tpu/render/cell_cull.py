@@ -1,0 +1,102 @@
+"""Exact per-chunk submodule culling for merged MegaNeRF rendering.
+
+The dense mixture blend (`models/mega.mega_apply`) evaluates every submodule
+on every sample point — K x MLP FLOPs per chunk regardless of where the
+chunk's rays actually travel (PERF.md round 4: the K=8 merged render runs at
+13.5k rays/s vs 55.3k for a single NeRF; the reference pays the same K-fold
+cost through its per-submodule boolean indexing,
+`/root/reference/mega_nerf/models/mega_nerf.py:34-49`). But `cluster_weights`
+has COMPACT SUPPORT: a submodule's weight is exactly zero wherever its
+centroid distance exceeds boundary_margin x the nearest centroid's distance
+(`models/mega.py:59`; reference `mega_nerf.py:21-27`). Every foreground
+sample position of a chunk of camera rays lies inside the axis-aligned
+bounding box of the rays' [near, far] segment endpoints (segments are convex
+combinations of their endpoints; an AABB is convex), so a submodule whose
+weight is provably zero everywhere in that box can be dropped from the
+chunk's stacked parameters without changing a single output value.
+
+The per-cell proof over a box B (interval arithmetic):
+
+    lb_j = min_{p in B} d_j(p)     -- point-to-box distance to centroid j
+    ub_k = max_{p in B} d_k(p)     -- distance to the farthest corner of B
+    min_k d_k(p) <= min_k ub_k     -- for every p in B
+
+so ``lb_j > margin * min_k ub_k`` implies ``d_j(p) > margin * min_d(p)``
+for all p in B, which is exactly the condition under which
+`cluster_weights` zeroes cell j (strict ``>`` in `mega.py:59`); for
+margin == 1 (hard assignment) the same bound proves j can never win the
+argmin. The weights of the SURVIVING cells are unchanged by the drop: the
+per-point min distance is attained by a surviving cell, and the
+inverse-distance normalizer only sums within-margin (surviving) entries.
+
+Culling is host-side and cheap (O(rays + K) numpy per chunk); the renderer
+(`runtime.runner.Runner.render_image`) gathers the active rows of the
+stacked params once per distinct active set and traces one render per
+active COUNT — the culled centroids enter the jitted render as a traced
+argument, so two chunks with different active sets of the same size share a
+compilation. TPU-honest: static shapes per compile, dense math on device,
+the dynamic-shape routing decision on the host where it is free.
+
+Background submodules are never culled: NeRF++ background samples route by
+their real-world coordinates out to unbounded radii (reference
+`mega_nerf.py:36`, `rendering.py:52-56`), where all centroid distances
+converge to each other and every cell falls within any margin > 1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Relative slack on the cull threshold. The bound itself is proved in real
+# arithmetic; the device evaluates `cluster_weights` in float32, so a cell
+# sitting within float32 rounding of the threshold could get a ~1e-7-mass
+# weight on device while host float64 math culls it. The slack keeps such
+# razor-edge cells active — culling stays EXACT, never approximate.
+_EDGE_SLACK = 1e-5
+
+
+def chunk_point_box(rays: np.ndarray, cluster_dim_start: int = 0):
+    """AABB containing every fg sample position of a chunk of rays.
+
+    rays: (N, 8) float [origin(3) | direction(3) | near | far] — the 8-float
+    record of `ops/rays.py`. Foreground samples lie at o + t*d with
+    t in [near, t_max], t_max <= far (sphere/altitude truncation only ever
+    SHRINKS the interval, `render/rendering.py`), so the box over the
+    {t=near, t=far} endpoints contains them all. Returns (lo, hi) over the
+    routing dims [cluster_dim_start:3] (cluster_2d drops altitude, matching
+    `models/mega.cluster_weights`).
+    """
+    rays = np.asarray(rays, np.float64)
+    o, d = rays[:, :3], rays[:, 3:6]
+    near, far = rays[:, 6:7], rays[:, 7:8]
+    pts = np.concatenate([o + near * d, o + far * d], axis=0)
+    pts = pts[:, cluster_dim_start:3]
+    return pts.min(axis=0), pts.max(axis=0)
+
+
+def active_cells(
+    rays: np.ndarray,
+    centroids: np.ndarray,
+    boundary_margin: float,
+    cluster_dim_start: int = 0,
+) -> np.ndarray:
+    """(K,) bool mask of submodules that can have nonzero routing weight for
+    ANY foreground sample of these rays. Conservative (never culls a
+    contributing cell) and typically tight for localized camera frusta.
+    """
+    lo, hi = chunk_point_box(rays, cluster_dim_start)
+    c = np.asarray(centroids, np.float64)[:, cluster_dim_start:]
+
+    # Per-dim distance from the box to each centroid (0 inside the slab).
+    gap = np.maximum(np.maximum(lo[None] - c, c - hi[None]), 0.0)
+    lb = np.sqrt((gap**2).sum(axis=-1))  # min_{p in B} d_j(p)
+    corner = np.maximum(np.abs(c - lo[None]), np.abs(hi[None] - c))
+    ub = np.sqrt((corner**2).sum(axis=-1))  # max_{p in B} d_j(p)
+
+    margin = max(float(boundary_margin), 1.0)
+    threshold = margin * ub.min()
+    mask = lb <= threshold * (1.0 + _EDGE_SLACK) + 1e-12
+    # The nearest-ub cell always survives (lb <= ub.min() by definition),
+    # so the mask is never empty; assert the invariant anyway.
+    assert mask.any()
+    return mask

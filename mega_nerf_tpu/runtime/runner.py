@@ -20,6 +20,7 @@ pure jitted train step and explicit state:
 
 from __future__ import annotations
 
+import dataclasses
 import sys
 import time
 from argparse import Namespace
@@ -44,6 +45,7 @@ from mega_nerf_tpu.parallel.train_step import (
     make_train_state,
     make_train_step,
 )
+from mega_nerf_tpu.render.cell_cull import active_cells
 from mega_nerf_tpu.render.rendering import RenderSettings, render_rays
 from mega_nerf_tpu.runtime import checkpoints as ckpt_io
 from mega_nerf_tpu.runtime.logging import MetricsWriter, is_master, main_print, main_tqdm
@@ -62,21 +64,35 @@ EVAL_POINT_BUDGET = 8 * 1024 * 1024
 
 
 def _eval_chunk_cap(
-    hparams: Namespace, n_local: int, submodules: int = 1
+    hparams: Namespace, n_local: int, submodules: int = 1,
+    bg_submodules: int = 0,
 ) -> int:
     """Max rays per eval render call that keeps every MLP pass in budget.
 
     `submodules` > 1 for MegaNeRF mixtures: the dense blend evaluates every
     submodule on every point (models/mega.py), multiplying the per-point
     activation footprint — a merged 2-cell eval at the plain cap OOM'd
-    24.5G of 15.75G hbm on v5e."""
+    24.5G of 15.75G hbm on v5e.
+
+    `bg_submodules` bounds the NeRF++ background pass separately: with
+    per-chunk cell culling (render/cell_cull.py) the foreground cost drops
+    to the chunk's active-cell count while the background stays at full K
+    (bg samples route at unbounded radii — uncullable), so the bg pass can
+    become the binding constraint. Its largest single MLP pass sees
+    coarse//2 + fine//2 points per ray (render_rays runs the bg model
+    hierarchically). 0 = no bg mixture; when bg_submodules == submodules
+    the bg bound is never tighter, so pre-cull behavior is unchanged."""
     s_max = max(hparams.coarse_samples, hparams.fine_samples, 1)
     if getattr(hparams, "use_cascade", False) and hparams.fine_samples > 0:
         # Cascade's fine pass evaluates sort(concat(coarse, fine)) z-vals
         # through the fine MLP (rendering.py:459-462), so the largest
         # single MLP pass sees coarse+fine points per ray.
         s_max = hparams.coarse_samples + hparams.fine_samples
-    return max(n_local, EVAL_POINT_BUDGET // (s_max * max(submodules, 1)))
+    cap = EVAL_POINT_BUDGET // (s_max * max(submodules, 1))
+    if bg_submodules > 0:
+        s_bg = max(hparams.coarse_samples // 2 + hparams.fine_samples // 2, 1)
+        cap = min(cap, EVAL_POINT_BUDGET // (s_bg * bg_submodules))
+    return max(n_local, cap)
 
 
 class TrainLoopHooks:
@@ -718,6 +734,78 @@ class Runner:
             )
         return self._eval_render_fn
 
+    def _get_eval_render_fn_culled(self):
+        """Eval render for culled mega mixtures (render/cell_cull.py): the
+        fg stacked params AND centroids arrive as traced ARGUMENTS (sliced
+        to a chunk's active cells), so chunks with different active sets of
+        the same size share one compilation — one trace per active COUNT,
+        not per set. Closing the culled centroids over the jit instead
+        would silently render with a stale set: jax keys its cache on
+        function identity + argument shapes, never on closure contents."""
+        if getattr(self, "_eval_render_fn_culled", None) is None:
+            self._get_eval_render_fn()  # build the mesh/shardings
+            hp = self.hparams
+            settings = RenderSettings.from_hparams(
+                hp, get_depth=True, get_bg_fg_rgb=True
+            )
+
+            def fn(fg_params, bg_params, fg_centroids, rays, image_indices):
+                fg = dataclasses.replace(self.fg, centroids=fg_centroids)
+                results, _ = render_rays(
+                    fg, self.bg, fg_params, bg_params, rays,
+                    image_indices, settings,
+                    self.sphere_center, self.sphere_radius, train=False,
+                )
+                return results
+
+            self._eval_render_fn_culled = jax.jit(
+                fn,
+                in_shardings=(
+                    self._eval_replicated, self._eval_replicated,
+                    self._eval_replicated,
+                    self._eval_sharded, self._eval_sharded,
+                ),
+            )
+        return self._eval_render_fn_culled
+
+    def _culled_fg_inputs(self, fg_params, mask: np.ndarray):
+        """(stacked-params subset, centroids subset) on the eval mesh for
+        one active-cell mask, cached per distinct mask so the device gather
+        runs once per set, not once per chunk (each eager dispatch costs
+        ~0.4 s of relay round-trip, PERF.md). The cache is cleared whenever
+        `_eval_params` re-places params (new TrainState)."""
+        cache = getattr(self, "_cull_cache", None)
+        if cache is None:
+            cache = self._cull_cache = {}
+        key = mask.tobytes()
+        hit = cache.get(key)
+        if hit is None:
+            centroids = np.asarray(self.fg.centroids, np.float32)
+            if mask.all():
+                sub_params = fg_params
+                sub_centroids = jax.device_put(
+                    centroids, self._eval_replicated
+                )
+            else:
+                idx = np.flatnonzero(mask).astype(np.int32)
+                if getattr(self, "_gather_rows", None) is None:
+                    self._gather_rows = jax.jit(
+                        lambda p, i: jax.tree.map(lambda x: x[i], p),
+                        in_shardings=(
+                            self._eval_replicated, self._eval_replicated
+                        ),
+                    )
+                sub_params = self._gather_rows(
+                    fg_params,
+                    jax.device_put(idx, self._eval_replicated),
+                )
+                sub_centroids = jax.device_put(
+                    centroids[idx], self._eval_replicated
+                )
+            hit = (sub_params, sub_centroids)
+            cache[key] = hit
+        return hit
+
     def _eval_params(self, state: TrainState):
         """Params placed (replicated) on the local eval mesh, cached per
         state object so a validation pass or flythrough places them once.
@@ -740,6 +828,10 @@ class Runner:
             self._eval_replicated,
         )
         self._eval_params_cache = (state, placed)
+        # Per-active-set param subsets derive from these arrays — drop them
+        # with the parent placement (stale subsets would render the
+        # PREVIOUS state's weights).
+        self._cull_cache = {}
         return placed
 
     def render_image(
@@ -755,12 +847,40 @@ class Runner:
         n = rays.shape[0]
         # Chunks divide evenly over the local chips (rays shard over 'ldata').
         n_local = jax.local_device_count()
-        # Routed mixtures evaluate ~max_experts submodules per point, not
-        # all K (models/mega.mega_apply_routed) — the chunk cap follows.
-        submodules = self.fg.eval_submodule_cost
+        # Exact per-chunk submodule culling (render/cell_cull.py): dense
+        # mega mixtures only — the routed path already skips inactive cells
+        # per point, and a single NeRF has nothing to cull.
+        cull = (
+            getattr(hp, "cell_cull", True)
+            and self.fg.is_mega
+            and not self.fg.use_routed
+            and int(self.fg.centroids.shape[0]) > 1
+        )
+        fg_centroids_np = (
+            np.asarray(self.fg.centroids, np.float32) if cull else None
+        )
+        if cull:
+            # Image-level active set sizes the chunks: with few cells in
+            # view, each chunk's MLP passes shrink and more rays fit the
+            # point budget. The (uncullable) bg mixture gets its own bound.
+            image_mask = active_cells(
+                rays, fg_centroids_np, self.fg.boundary_margin,
+                self.fg.cluster_dim_start,
+            )
+            submodules = max(int(image_mask.sum()), 1)
+            bg_k = (
+                int(self.bg.centroids.shape[0])
+                if self.bg is not None and getattr(self.bg, "is_mega", False)
+                else 0
+            )
+        else:
+            # Routed mixtures evaluate ~max_experts submodules per point,
+            # not all K (models/mega.mega_apply_routed) — the cap follows.
+            submodules = self.fg.eval_submodule_cost
+            bg_k = 0
         chunk = min(
             hp.image_pixel_batch_size, n,
-            _eval_chunk_cap(hp, n_local, submodules),
+            _eval_chunk_cap(hp, n_local, submodules, bg_submodules=bg_k),
         )
         chunk = ((chunk + n_local - 1) // n_local) * n_local
         n_padded = ((n + chunk - 1) // chunk) * chunk
@@ -797,12 +917,26 @@ class Runner:
         depth = max(1, int(getattr(hp, "render_dispatch_depth", 2)))
         pending: deque = deque()
         for start in range(0, n_padded, chunk):
-            pending.append(render_fn(
-                fg_params,
-                bg_params,
-                jax.device_put(rays[start : start + chunk], self._eval_sharded),
-                image_indices,
-            ))
+            chunk_rays = rays[start : start + chunk]
+            rays_dev = jax.device_put(chunk_rays, self._eval_sharded)
+            if cull:
+                # Per-chunk refinement of the image-level set (always a
+                # subset: a smaller box can only tighten both bounds).
+                mask = active_cells(
+                    chunk_rays, fg_centroids_np, self.fg.boundary_margin,
+                    self.fg.cluster_dim_start,
+                )
+                sub_params, sub_centroids = self._culled_fg_inputs(
+                    fg_params, mask
+                )
+                pending.append(self._get_eval_render_fn_culled()(
+                    sub_params, bg_params, sub_centroids, rays_dev,
+                    image_indices,
+                ))
+            else:
+                pending.append(render_fn(
+                    fg_params, bg_params, rays_dev, image_indices,
+                ))
             if len(pending) > depth:
                 drain(pending.popleft())
         while pending:

@@ -1,0 +1,212 @@
+"""Exact per-chunk submodule culling (render/cell_cull.py).
+
+The dense mega-mixture blend pays K x MLP FLOPs on every chunk; culling
+drops submodules whose routing weight is PROVABLY zero everywhere in a
+chunk's sample box. These tests pin (1) the interval bound is conservative
+against brute-force sampling, (2) dropping provably-zero cells leaves the
+blend bit-equal, and (3) `Runner.render_image` returns identical images
+with culling on and off while actually evaluating fewer submodules.
+Reference cost being avoided: `mega_nerf/models/mega_nerf.py:34-49`
+evaluates every submodule that owns ANY point of the batch.
+"""
+
+from argparse import Namespace
+
+import jax
+import numpy as np
+import pytest
+
+from mega_nerf_tpu.data.torch_io import save_pt
+from mega_nerf_tpu.models.mega import cluster_weights, mega_apply
+from mega_nerf_tpu.render.cell_cull import active_cells, chunk_point_box
+from mega_nerf_tpu.runtime.runner import Runner
+from tests.synthetic import make_synthetic_dataset, tiny_train_hparams
+
+
+def _random_rays(rng, n, origin_scale=2.0):
+    o = rng.uniform(-origin_scale, origin_scale, (n, 3))
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    near = rng.uniform(0.1, 0.8, (n, 1))
+    far = near + rng.uniform(0.5, 3.0, (n, 1))
+    return np.concatenate([o, d, near, far], axis=1).astype(np.float32)
+
+
+@pytest.mark.parametrize("margin", [1.0, 1.15, 2.0])
+@pytest.mark.parametrize("cds", [0, 1])
+def test_active_cells_conservative_vs_dense_sampling(margin, cds):
+    """Any cell with nonzero weight at ANY sample position along the rays
+    must be in the active mask (brute-force check over dense t-samples)."""
+    rng = np.random.default_rng(0)
+    for trial in range(8):
+        rays = _random_rays(rng, 64)
+        gx, gy = rng.integers(2, 5), rng.integers(1, 4)
+        ys, zs = np.meshgrid(
+            np.linspace(-3, 3, gx), np.linspace(-2, 2, gy), indexing="ij"
+        )
+        centroids = np.stack(
+            [np.zeros(gx * gy), ys.reshape(-1), zs.reshape(-1)], axis=1
+        ).astype(np.float32)
+
+        mask = active_cells(rays, centroids, margin, cds)
+
+        t = np.linspace(0.0, 1.0, 96, dtype=np.float32)[None, :, None]
+        o, d = rays[:, None, :3], rays[:, None, 3:6]
+        nf = rays[:, None, 6:7] * (1 - t) + rays[:, None, 7:8] * t
+        pts = (o + nf * d).reshape(-1, 3)
+        w = np.asarray(cluster_weights(pts, centroids, margin, cds))
+        touched = (w > 0).any(axis=0)
+        assert not (touched & ~mask).any(), (
+            f"trial {trial}: culled a contributing cell "
+            f"(touched={touched}, mask={mask})"
+        )
+
+
+def test_box_contains_all_segment_points():
+    rng = np.random.default_rng(1)
+    rays = _random_rays(rng, 32)
+    lo, hi = chunk_point_box(rays, 0)
+    t = rng.uniform(0, 1, (32, 50, 1))
+    nf = rays[:, None, 6:7] * (1 - t) + rays[:, None, 7:8] * t
+    pts = (rays[:, None, :3] + nf * rays[:, None, 3:6]).reshape(-1, 3)
+    assert (pts >= lo - 1e-5).all() and (pts <= hi + 1e-5).all()
+
+
+@pytest.mark.parametrize("margin", [1.0, 1.15])
+def test_culled_blend_is_exact(margin):
+    """Dropping the provably-zero cells from the stacked params + centroids
+    leaves the dense blend's output unchanged: the surviving cells' weights
+    are identical (the per-point min distance is attained by a survivor and
+    the inverse-distance normalizer only sums within-margin entries)."""
+    rng = np.random.default_rng(2)
+    rays = _random_rays(rng, 48, origin_scale=1.0)
+    # Two reachable cells + two "impossible" cells far outside any sample box.
+    centroids = np.array(
+        [[0, -0.7, 0], [0, 0.7, 0], [0, -50, 0], [0, 50, 0]], np.float32
+    )
+    k = len(centroids)
+    params = {
+        "w": rng.normal(size=(k, 3, 4)).astype(np.float32),
+        "b": rng.normal(size=(k, 4)).astype(np.float32),
+    }
+
+    def apply_fn(p, xyz, dirs, image_indices, sigma_noise, sigma_only):
+        return xyz @ p["w"] + p["b"]
+
+    mask = active_cells(rays, centroids, margin, 0)
+    assert mask[:2].all() and not mask[2:].any()
+
+    t = rng.uniform(0, 1, (48, 24, 1)).astype(np.float32)
+    nf = rays[:, None, 6:7] * (1 - t) + rays[:, None, 7:8] * t
+    pts = (rays[:, None, :3] + nf * rays[:, None, 3:6]).reshape(-1, 3)
+
+    w_full = cluster_weights(pts, centroids, margin, 0)
+    full = mega_apply(apply_fn, params, w_full, pts)
+
+    idx = np.flatnonzero(mask)
+    sub_params = jax.tree.map(lambda x: x[idx], params)
+    w_sub = cluster_weights(pts, centroids[idx], margin, 0)
+    np.testing.assert_array_equal(
+        np.asarray(w_full)[:, idx], np.asarray(w_sub)
+    )
+    culled = mega_apply(apply_fn, sub_params, w_sub, pts)
+    np.testing.assert_allclose(
+        np.asarray(culled), np.asarray(full), rtol=0, atol=1e-6
+    )
+
+
+@pytest.fixture(scope="module")
+def mega_runner(tmp_path_factory):
+    """Joint-mega Runner over K=4 cells, two of which are unreachable from
+    any camera — the honest cull setting in miniature."""
+    root = tmp_path_factory.mktemp("cull")
+    ds = make_synthetic_dataset(root / "ds", n_train=3, n_val=1, hw=(16, 16))
+    centroid_meta = {
+        "centroids": np.array(
+            [[0, -0.7, 0], [0, 0.7, 0], [0, -50, 0], [0, 50, 0]], np.float32
+        ),
+        "cluster_2d": False,
+        "grid_dim": [4, 1],
+        "min_position": np.full(3, -60.0, np.float32),
+        "max_position": np.full(3, 60.0, np.float32),
+    }
+    save_pt(centroid_meta, root / "params.pt")
+    hp = tiny_train_hparams(
+        ds, root / "exp",
+        train_mega_nerf=str(root / "params.pt"),
+        train_iterations=10, ckpt_interval=100,
+    )
+    runner = Runner(hp, set_experiment_path=False)
+    assert runner.fg.is_mega and runner.fg.centroids.shape == (4, 3)
+
+    from mega_nerf_tpu.parallel.train_step import make_optimizer, make_train_state
+
+    opt = make_optimizer(hp.lr, hp.lr_decay_factor, hp.train_iterations)
+    state = make_train_state(runner.fg, None, opt, runner.init_key)
+    return hp, runner, state
+
+
+def test_render_image_cull_equivalence(mega_runner):
+    """render_image with culling on must match culling off to float32
+    rounding, while the jitted culled render only ever sees the 2 reachable
+    submodules."""
+    hp, runner, state = mega_runner
+    meta = runner.val_items[0]
+
+    # Force several chunks so the per-chunk path runs more than once.
+    old_pix = hp.image_pixel_batch_size
+    try:
+        hp.image_pixel_batch_size = 96
+        hp.cell_cull = True
+        culled = runner.render_image(meta, state)
+        # The cull actually engaged: every cached active set has 2 cells.
+        assert runner._cull_cache, "cull path never ran"
+        masks = [np.frombuffer(k, bool) for k in runner._cull_cache]
+        assert all(m.sum() == 2 for m in masks), masks
+        hp.cell_cull = False
+        plain = runner.render_image(meta, state)
+    finally:
+        hp.image_pixel_batch_size = old_pix
+        hp.cell_cull = True
+
+    assert culled.keys() == plain.keys()
+    for k in culled:
+        np.testing.assert_allclose(
+            culled[k], plain[k], rtol=0, atol=1e-6, err_msg=k
+        )
+
+
+def test_render_image_cull_equivalence_with_bg(mega_runner, tmp_path):
+    """Same equivalence with a NeRF++ background mixture in play: the bg
+    submodules are never culled (unbounded-radius routing) and get their
+    own chunk-cap bound."""
+    hp, runner, state = mega_runner
+    ds = hp.dataset_path
+
+    hp2 = tiny_train_hparams(
+        ds, tmp_path / "exp_bg",
+        train_mega_nerf=hp.train_mega_nerf,
+        train_iterations=10, ckpt_interval=100,
+        ray_altitude_range=[-10.0, 10.0],
+    )
+    hp2.bg_nerf = True
+    runner2 = Runner(hp2, set_experiment_path=False)
+    assert runner2.bg is not None and runner2.bg.is_mega
+
+    from mega_nerf_tpu.parallel.train_step import make_optimizer, make_train_state
+
+    opt = make_optimizer(hp2.lr, hp2.lr_decay_factor, hp2.train_iterations)
+    state2 = make_train_state(runner2.fg, runner2.bg, opt, runner2.init_key)
+
+    meta = runner2.val_items[0]
+    hp2.cell_cull = True
+    culled = runner2.render_image(meta, state2)
+    assert runner2._cull_cache
+    hp2.cell_cull = False
+    plain = runner2.render_image(meta, state2)
+
+    assert culled.keys() == plain.keys()
+    for k in culled:
+        np.testing.assert_allclose(
+            culled[k], plain[k], rtol=0, atol=1e-6, err_msg=k
+        )
