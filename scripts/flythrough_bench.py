@@ -42,6 +42,12 @@ def main() -> None:
                          "frames, not training crops")
     ap.add_argument("--depths", type=int, nargs="+", default=[2, 1],
                     help="render_dispatch_depth values to A/B")
+    ap.add_argument("--ab_cull", action="store_true",
+                    help="A/B exact submodule culling (render/cell_cull.py) "
+                         "instead of dispatch depths: renders the flythrough "
+                         "with culling on vs off at depths[0] and reports "
+                         "both, plus the max |rgb| frame difference (must be "
+                         "float32-rounding-level: culling is exact)")
     ap.add_argument("--near", type=float, default=0.5)
     ap.add_argument("--ray_altitude_range", type=float, nargs=2,
                     default=[-2.0, 2.0])
@@ -80,15 +86,21 @@ def main() -> None:
         "\n".join("0" for _ in range(args.frames)) + "\n"
     )
 
+    if args.ab_cull:
+        variants = [("cull_on", args.depths[0], []),
+                    ("cull_off", args.depths[0], ["--no_cell_cull"])]
+    else:
+        variants = [(f"depth{d}", d, []) for d in args.depths]
+
     results = {}
-    for depth in args.depths:
-        out = work / f"frames_d{depth}"
+    for name, depth, extra_flags in variants:
+        out = work / f"frames_{name}"
         if out.exists():
             shutil.rmtree(out)
         rhp = parse_opts(get_opts_base(), [
             "--near", str(args.near),
             "--ray_altitude_range", *[str(v) for v in args.ray_altitude_range],
-        ] + args.model_args + [
+        ] + args.model_args + extra_flags + [
             "--container_path", args.container,
             "--val_scale_factor", "1",
             "--compute_dtype", "bfloat16",
@@ -114,15 +126,26 @@ def main() -> None:
         steady = (
             (mtimes[-1] - mtimes[0]) / (n - 1) if n > 1 else float("nan")
         )
-        results[f"depth{depth}"] = {
+        results[name] = {
             "frames": n,
             "total_s": round(total, 1),
             "first_frame_s": round(mtimes[0] - t0, 1) if n else None,
             "steady_s_per_frame": round(steady, 2),
             "steady_fps": round(1.0 / steady, 3) if steady == steady else None,
         }
-        print(f"depth={depth}:", json.dumps(results[f"depth{depth}"]),
-              flush=True)
+        print(f"{name}:", json.dumps(results[name]), flush=True)
+
+    if args.ab_cull:
+        # Culling is exact: the rendered frames must match to jpg rounding.
+        from PIL import Image
+
+        diffs = []
+        for p_on in sorted((work / "frames_cull_on" / "rgbs").glob("*.jpg")):
+            p_off = work / "frames_cull_off" / "rgbs" / p_on.name
+            a = np.asarray(Image.open(p_on), np.int16)
+            b = np.asarray(Image.open(p_off), np.int16)
+            diffs.append(int(np.abs(a - b).max()))
+        results["max_abs_rgb_diff_u8"] = max(diffs) if diffs else None
 
     print(json.dumps({
         "metric": "flythrough_frames_per_sec",
