@@ -85,6 +85,33 @@ def active_cells(
     contributing cell) and typically tight for localized camera frusta.
     """
     lo, hi = chunk_point_box(rays, cluster_dim_start)
+    return _active_cells_box(lo, hi, centroids, boundary_margin,
+                             cluster_dim_start)
+
+
+def active_cells_for_points(
+    points: np.ndarray,
+    centroids: np.ndarray,
+    boundary_margin: float,
+    cluster_dim_start: int = 0,
+) -> np.ndarray:
+    """Same mask for a batch of QUERY POINTS (no rays): used by the octree
+    bake (`scripts/create_octree.py`), whose sigma/RGBA probes walk the
+    grid/leaf list in spatial order — each chunk's AABB touches 1-2 cells
+    of the grid, so the dense blend's K x FLOPs collapse to the local
+    cells'."""
+    pts = np.asarray(points, np.float64)[:, cluster_dim_start:3]
+    return _active_cells_box(pts.min(axis=0), pts.max(axis=0), centroids,
+                             boundary_margin, cluster_dim_start)
+
+
+def _active_cells_box(
+    lo: np.ndarray,
+    hi: np.ndarray,
+    centroids: np.ndarray,
+    boundary_margin: float,
+    cluster_dim_start: int,
+) -> np.ndarray:
     c = np.asarray(centroids, np.float64)[:, cluster_dim_start:]
 
     # Per-dim distance from the box to each centroid (0 inside the slab).

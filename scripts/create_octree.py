@@ -11,6 +11,7 @@ appearance index), fill internal nodes, and save the svox-layout `.npz`.
 
 from __future__ import annotations
 
+import dataclasses
 import sys
 from argparse import Namespace
 from pathlib import Path
@@ -26,6 +27,7 @@ from mega_nerf_tpu.data.torch_io import load_coordinates, load_pt
 from mega_nerf_tpu.models.factory import make_nerf
 from mega_nerf_tpu.octree import N3Tree, grid_weight_render_max
 from mega_nerf_tpu.opts import get_opts_base, parse_opts
+from mega_nerf_tpu.render.cell_cull import active_cells_for_points
 from mega_nerf_tpu.runtime.logging import main_print, main_tqdm
 
 
@@ -63,10 +65,62 @@ def _point_chunk(hparams, bundle) -> int:
     return max(hparams.model_chunk_size, EVAL_POINT_BUDGET // (2 * n_sub))
 
 
-def _make_sigma_fn(bundle, params, chunk: int):
-    apply = jax.jit(
-        lambda p, xyz: bundle.apply(p, "fine", xyz, sigma_only=True)
-    )
+def _make_point_culler(hparams, bundle, params):
+    """Per-chunk exact submodule culling for the bake's point probes
+    (render/cell_cull.py). The probes walk grid/leaf points in spatial
+    order, so each chunk's AABB overlaps 1-2 cells of the routing grid —
+    the dense blend's K x MLP FLOPs drop to the local cells' with
+    bit-identical outputs. Returns `inputs(points) -> (params_subset,
+    centroids_subset)` or None when culling doesn't apply."""
+    if not (
+        getattr(hparams, "cell_cull", True)
+        and bundle.is_mega
+        and not bundle.use_routed
+        and int(bundle.centroids.shape[0]) > 1
+    ):
+        return None
+    centroids = np.asarray(bundle.centroids, np.float32)
+    gather = jax.jit(lambda p, i: jax.tree.map(lambda x: x[i], p))
+    cache = {}
+
+    def inputs(points: np.ndarray):
+        mask = active_cells_for_points(
+            points, centroids, bundle.boundary_margin,
+            bundle.cluster_dim_start,
+        )
+        key = mask.tobytes()
+        hit = cache.get(key)
+        if hit is None:
+            if mask.all():
+                hit = (params, jnp.asarray(centroids))
+            else:
+                idx = jnp.asarray(np.flatnonzero(mask).astype(np.int32))
+                hit = (gather(params, idx), jnp.asarray(centroids[mask]))
+            cache[key] = hit
+        return hit
+
+    return inputs
+
+
+def _make_sigma_fn(hparams, bundle, params, chunk: int):
+    culler = _make_point_culler(hparams, bundle, params)
+    if culler is None:
+        apply = jax.jit(
+            lambda p, xyz: bundle.apply(p, "fine", xyz, sigma_only=True)
+        )
+        probe = lambda pts: apply(params, pts)
+    else:
+        # Culled centroids arrive as a traced ARGUMENT: one compile per
+        # active COUNT, and jit can never serve a stale closure constant.
+        apply = jax.jit(
+            lambda p, c, xyz: dataclasses.replace(bundle, centroids=c).apply(
+                p, "fine", xyz, sigma_only=True
+            )
+        )
+
+        def probe(pts):
+            sub_params, sub_centroids = culler(np.asarray(pts))
+            return apply(sub_params, sub_centroids, pts)
 
     def sigma_at(points: np.ndarray) -> np.ndarray:
         # Pad to a chunk multiple: a remainder-sized final call would be a
@@ -79,7 +133,7 @@ def _make_sigma_fn(bundle, params, chunk: int):
             )
         out = []
         for i in range(0, n_pad, chunk):
-            out.append(np.asarray(apply(params, jnp.asarray(points[i:i + chunk]))))
+            out.append(np.asarray(probe(jnp.asarray(points[i:i + chunk]))))
         return np.concatenate(out)[:n, 0]
 
     return sigma_at
@@ -166,9 +220,12 @@ def step2_average(hparams, bundle, params, tree: N3Tree) -> None:
             [leaves, np.repeat(leaves[:1], n_pad - n_leaves, axis=0)], axis=0
         )
 
+    culler = _make_point_culler(hparams, bundle, params)
+
     @jax.jit
-    def eval_rgba(p, pts, dirs, idx):
-        out = bundle.apply(
+    def eval_rgba(p, c, pts, dirs, idx):
+        b = bundle if c is None else dataclasses.replace(bundle, centroids=c)
+        out = b.apply(
             p, "fine", pts,
             dirs if bundle.config.pos_dir_dim > 0 else None,
             idx if bundle.config.appearance_dim > 0 else None,
@@ -183,8 +240,9 @@ def step2_average(hparams, bundle, params, tree: N3Tree) -> None:
         dirs[:, 0] = 1.0  # fixed +x view dir (reference create_octree.py:198-199)
         idx = np.full(flat.shape[0], hparams.embedding_index, np.int32)
 
+        p_in, c_in = (params, None) if culler is None else culler(flat)
         out = np.asarray(
-            eval_rgba(params, jnp.asarray(flat), jnp.asarray(dirs),
+            eval_rgba(p_in, c_in, jnp.asarray(flat), jnp.asarray(dirs),
                       jnp.asarray(idx))
         )
         # svox/PlenOctree layout: [rgb-or-SH..., sigma] with density LAST —
@@ -213,6 +271,11 @@ def main(hparams: Namespace) -> None:
         [np.asarray(load_pt(p)["c2w"], np.float32) for p in metadata_paths]
     )
 
+    # Joint-mega checkpoints (--train_mega_nerf) carry stacked submodule
+    # params: hook up the centroid metadata exactly like Runner.__init__ so
+    # make_nerf builds the mixture bundle they load into.
+    if getattr(hparams, "train_mega_nerf", None) is not None:
+        hparams._mega_centroid_metadata = load_pt(hparams.train_mega_nerf)
     bundle = make_nerf(hparams, poses.shape[0])
     params = bundle.pretrained_params
     if params is None:
@@ -246,7 +309,9 @@ def main(hparams: Namespace) -> None:
     radius = ((max_values - min_values) * 0.5).tolist()
     main_print(f"Center and radius before autoscale: {center}, {radius}")
 
-    sigma_at = _make_sigma_fn(bundle, params, _point_chunk(hparams, bundle))
+    sigma_at = _make_sigma_fn(
+        hparams, bundle, params, _point_chunk(hparams, bundle)
+    )
     center, radius = auto_scale(hparams, sigma_at, center, radius)
     main_print(f"Center and radius after autoscale: {center}, {radius}")
 

@@ -210,3 +210,72 @@ def test_render_image_cull_equivalence_with_bg(mega_runner, tmp_path):
         np.testing.assert_allclose(
             culled[k], plain[k], rtol=0, atol=1e-6, err_msg=k
         )
+
+
+def test_octree_bake_cull_equivalence(tmp_path, monkeypatch):
+    """The octree bake's point probes (scripts/create_octree.py) cull
+    per-chunk too: the baked tree must be identical with culling on and
+    off (structure and leaf data)."""
+    from mega_nerf_tpu.octree import N3Tree
+    import mega_nerf_tpu.runtime.runner as runner_mod
+    import scripts.create_octree as co
+
+    # Shrink the probe point budget so the bake runs several chunks per
+    # grid pass (the real budget would cover the whole test grid in one).
+    monkeypatch.setattr(runner_mod, "EVAL_POINT_BUDGET", 8 * 4096)
+
+    ds = make_synthetic_dataset(tmp_path / "ds", n_train=3, n_val=1,
+                                hw=(16, 16))
+    centroid_meta = {
+        "centroids": np.array(
+            [[0, -0.7, 0], [0, 0.7, 0], [0, -50, 0], [0, 50, 0]], np.float32
+        ),
+        "cluster_2d": False,
+        "grid_dim": [4, 1],
+        "min_position": np.full(3, -60.0, np.float32),
+        "max_position": np.full(3, 60.0, np.float32),
+    }
+    save_pt(centroid_meta, tmp_path / "params.pt")
+    hp = tiny_train_hparams(
+        ds, tmp_path / "exp",
+        train_mega_nerf=str(tmp_path / "params.pt"),
+        train_iterations=20, ckpt_interval=20,
+    )
+    Runner(hp).train()
+
+    trees = {}
+    for cull in (True, False):
+        bake_hp = tiny_train_hparams(
+            ds, tmp_path / "unused",
+            train_mega_nerf=str(tmp_path / "params.pt"),
+            ray_altitude_range=[-2.0, 2.0],
+            ckpt_path=str(tmp_path / "exp" / "0" / "models" / "20.ckpt"),
+        )
+        bake_hp.cell_cull = cull
+        bake_hp.dataset_path = str(ds)
+        bake_hp.output = str(tmp_path / f"tree_{cull}.npz")
+        bake_hp.alpha_thresh = 0.01
+        bake_hp.scale_alpha_thresh = 0.01
+        bake_hp.tree_branch_n = 2
+        bake_hp.init_grid_depth = 4
+        bake_hp.samples_per_cell = 4
+        bake_hp.masking_mode = "sigma"
+        bake_hp.weight_thresh = 0.001
+        bake_hp.embedding_index = 0
+        bake_hp.camera_params = [32, 32, 28, 28, 16, 16]
+        # Small chunks force several probe dispatches per grid pass.
+        bake_hp.model_chunk_size = 4096
+        co.main(bake_hp)
+        trees[cull] = N3Tree.load(tmp_path / f"tree_{cull}.npz")
+
+    a, b = trees[True], trees[False]
+    assert a.n_internal == b.n_internal
+    la, lb = a.leaf_indices(), b.leaf_indices()
+    np.testing.assert_array_equal(la, lb)
+    # Culling is exact in exact arithmetic, but the backend may pick a
+    # different batched-matmul kernel for a K=2 vs K=4 leading vmap axis
+    # (observed: oneDNN on CPU, 8/122924 elements off by <=2.4e-4 from
+    # f32 reduction-order differences INSIDE the same cell's matmuls).
+    np.testing.assert_allclose(
+        a.get_leaf_data(la), b.get_leaf_data(lb), rtol=0, atol=1e-3
+    )
