@@ -105,6 +105,27 @@ def active_cells_for_points(
                              boundary_margin, cluster_dim_start)
 
 
+def tile_order(w: int, h: int, chunk_rays: int) -> np.ndarray:
+    """Permutation putting a row-major (h*w,) ray grid into square-tile
+    order, tile area <= chunk_rays.
+
+    Scanline chunks span the full image width, so their sample boxes stay
+    wide in one scene dimension no matter how many rays fit a chunk; at a
+    1920-wide production frame a 16k-ray chunk is 8.5 full-width rows,
+    where a 128x128 tile covers 1/15 of the width — per-chunk active-cell
+    sets shrink accordingly. Rays are independent rows of every render
+    pass, so reordering is exact; `Runner.render_image` un-permutes the
+    outputs."""
+    t = 1
+    while (t * 2) ** 2 <= chunk_rays and t * 2 <= max(w, h):
+        t *= 2
+    ys, xs = np.mgrid[0:h, 0:w]
+    tiles_x = (w + t - 1) // t
+    tile_id = (ys // t) * tiles_x + (xs // t)
+    # Sort by (tile, y, x): stable row-major order within each tile.
+    return np.lexsort((xs.ravel(), ys.ravel(), tile_id.ravel()))
+
+
 def _active_cells_box(
     lo: np.ndarray,
     hi: np.ndarray,

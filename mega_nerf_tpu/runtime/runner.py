@@ -45,7 +45,7 @@ from mega_nerf_tpu.parallel.train_step import (
     make_train_state,
     make_train_step,
 )
-from mega_nerf_tpu.render.cell_cull import active_cells
+from mega_nerf_tpu.render.cell_cull import active_cells, tile_order
 from mega_nerf_tpu.render.rendering import RenderSettings, render_rays
 from mega_nerf_tpu.runtime import checkpoints as ckpt_io
 from mega_nerf_tpu.runtime.logging import MetricsWriter, is_master, main_print, main_tqdm
@@ -883,6 +883,22 @@ class Runner:
             _eval_chunk_cap(hp, n_local, submodules, bg_submodules=bg_k),
         )
         chunk = ((chunk + n_local - 1) // n_local) * n_local
+        order = None
+        if cull and n == metadata.W * metadata.H:
+            # Square-tile chunk order tightens each chunk's sample box
+            # (scanline chunks span the full image width) — more culled
+            # cells per chunk, identical per-ray outputs (rays are
+            # independent; results are un-permuted below).
+            cache = getattr(self, "_tile_order_cache", None)
+            if cache is None:
+                cache = self._tile_order_cache = {}
+            key = (metadata.W, metadata.H, chunk)
+            order = cache.get(key)
+            if order is None:
+                order = cache[key] = tile_order(metadata.W, metadata.H, chunk)
+                if len(cache) > 8:
+                    cache.pop(next(iter(cache)))
+            rays = rays[order]
         n_padded = ((n + chunk - 1) // chunk) * chunk
         rays = np.concatenate([rays, np.tile(rays[-1:], (n_padded - n, 1))])
 
@@ -942,7 +958,12 @@ class Runner:
         while pending:
             drain(pending.popleft())
 
-        return {k: np.concatenate(v)[:n] for k, v in results.items()}
+        out = {k: np.concatenate(v)[:n] for k, v in results.items()}
+        if order is not None:
+            inv = np.empty_like(order)
+            inv[order] = np.arange(n, dtype=order.dtype)
+            out = {k: v[inv] for k, v in out.items()}
+        return out
 
     # ------------------------------------------------------------------- viz
 

@@ -279,3 +279,15 @@ def test_octree_bake_cull_equivalence(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         a.get_leaf_data(la), b.get_leaf_data(lb), rtol=0, atol=1e-3
     )
+
+
+def test_tile_order_is_local_permutation():
+    from mega_nerf_tpu.render.cell_cull import tile_order
+
+    w, h, chunk = 20, 12, 70  # tile side -> 8
+    order = tile_order(w, h, chunk)
+    assert sorted(order) == list(range(w * h))
+    # First 64 entries are exactly the top-left 8x8 tile (row-major).
+    ys, xs = np.divmod(order[:64], w)
+    assert ys.max() < 8 and xs.max() < 8
+    assert (np.diff(ys) >= 0).all()
