@@ -105,6 +105,47 @@ def active_cells_for_points(
                              boundary_margin, cluster_dim_start)
 
 
+class ParamSubsetCache:
+    """Mask-keyed cache of (stacked-params subset, centroids subset).
+
+    One device gather per distinct active set — not one per chunk (each
+    eager dispatch costs ~0.4 s of relay round-trip, PERF.md). Shared by
+    `Runner._culled_fg_inputs` and the octree bake probes so the caching /
+    full-mask fast-path logic cannot drift between them.
+
+    `gather(params, idx)` and `put(array)` are injected: the Runner's eval
+    mesh needs sharding-aware versions, plain `jnp.asarray` works
+    elsewhere."""
+
+    def __init__(self, params, centroids: np.ndarray, gather, put):
+        self._params = params
+        self._centroids = np.asarray(centroids, np.float32)
+        self._gather = gather
+        self._put = put
+        self._cache = {}
+
+    def __len__(self) -> int:
+        return len(self._cache)
+
+    def masks(self):
+        return [np.frombuffer(k, bool) for k in self._cache]
+
+    def get(self, mask: np.ndarray):
+        key = mask.tobytes()
+        hit = self._cache.get(key)
+        if hit is None:
+            if mask.all():
+                hit = (self._params, self._put(self._centroids))
+            else:
+                idx = np.flatnonzero(mask).astype(np.int32)
+                hit = (
+                    self._gather(self._params, self._put(idx)),
+                    self._put(self._centroids[mask]),
+                )
+            self._cache[key] = hit
+        return hit
+
+
 def tile_order(w: int, h: int, chunk_rays: int) -> np.ndarray:
     """Permutation putting a row-major (h*w,) ray grid into square-tile
     order, tile area <= chunk_rays.

@@ -45,7 +45,11 @@ from mega_nerf_tpu.parallel.train_step import (
     make_train_state,
     make_train_step,
 )
-from mega_nerf_tpu.render.cell_cull import active_cells, tile_order
+from mega_nerf_tpu.render.cell_cull import (
+    ParamSubsetCache,
+    active_cells,
+    tile_order,
+)
 from mega_nerf_tpu.render.rendering import RenderSettings, render_rays
 from mega_nerf_tpu.runtime import checkpoints as ckpt_io
 from mega_nerf_tpu.runtime.logging import MetricsWriter, is_master, main_print, main_tqdm
@@ -770,41 +774,24 @@ class Runner:
 
     def _culled_fg_inputs(self, fg_params, mask: np.ndarray):
         """(stacked-params subset, centroids subset) on the eval mesh for
-        one active-cell mask, cached per distinct mask so the device gather
-        runs once per set, not once per chunk (each eager dispatch costs
-        ~0.4 s of relay round-trip, PERF.md). The cache is cleared whenever
-        `_eval_params` re-places params (new TrainState)."""
+        one active-cell mask (render/cell_cull.ParamSubsetCache). The cache
+        is rebuilt whenever `_eval_params` re-places params (new
+        TrainState)."""
         cache = getattr(self, "_cull_cache", None)
         if cache is None:
-            cache = self._cull_cache = {}
-        key = mask.tobytes()
-        hit = cache.get(key)
-        if hit is None:
-            centroids = np.asarray(self.fg.centroids, np.float32)
-            if mask.all():
-                sub_params = fg_params
-                sub_centroids = jax.device_put(
-                    centroids, self._eval_replicated
+            if getattr(self, "_gather_rows", None) is None:
+                self._gather_rows = jax.jit(
+                    lambda p, i: jax.tree.map(lambda x: x[i], p),
+                    in_shardings=(
+                        self._eval_replicated, self._eval_replicated
+                    ),
                 )
-            else:
-                idx = np.flatnonzero(mask).astype(np.int32)
-                if getattr(self, "_gather_rows", None) is None:
-                    self._gather_rows = jax.jit(
-                        lambda p, i: jax.tree.map(lambda x: x[i], p),
-                        in_shardings=(
-                            self._eval_replicated, self._eval_replicated
-                        ),
-                    )
-                sub_params = self._gather_rows(
-                    fg_params,
-                    jax.device_put(idx, self._eval_replicated),
-                )
-                sub_centroids = jax.device_put(
-                    centroids[idx], self._eval_replicated
-                )
-            hit = (sub_params, sub_centroids)
-            cache[key] = hit
-        return hit
+            cache = self._cull_cache = ParamSubsetCache(
+                fg_params, np.asarray(self.fg.centroids, np.float32),
+                self._gather_rows,
+                lambda x: jax.device_put(x, self._eval_replicated),
+            )
+        return cache.get(mask)
 
     def _eval_params(self, state: TrainState):
         """Params placed (replicated) on the local eval mesh, cached per
@@ -831,7 +818,7 @@ class Runner:
         # Per-active-set param subsets derive from these arrays — drop them
         # with the parent placement (stale subsets would render the
         # PREVIOUS state's weights).
-        self._cull_cache = {}
+        self._cull_cache = None
         return placed
 
     def render_image(

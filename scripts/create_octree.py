@@ -27,7 +27,10 @@ from mega_nerf_tpu.data.torch_io import load_coordinates, load_pt
 from mega_nerf_tpu.models.factory import make_nerf
 from mega_nerf_tpu.octree import N3Tree, grid_weight_render_max
 from mega_nerf_tpu.opts import get_opts_base, parse_opts
-from mega_nerf_tpu.render.cell_cull import active_cells_for_points
+from mega_nerf_tpu.render.cell_cull import (
+    ParamSubsetCache,
+    active_cells_for_points,
+)
 from mega_nerf_tpu.runtime.logging import main_print, main_tqdm
 
 
@@ -70,8 +73,10 @@ def _make_point_culler(hparams, bundle, params):
     (render/cell_cull.py). The probes walk grid/leaf points in spatial
     order, so each chunk's AABB overlaps 1-2 cells of the routing grid —
     the dense blend's K x MLP FLOPs drop to the local cells' with
-    bit-identical outputs. Returns `inputs(points) -> (params_subset,
-    centroids_subset)` or None when culling doesn't apply."""
+    unchanged outputs. Returns `inputs(points_np) -> (params_subset,
+    centroids_subset)` or None when culling doesn't apply. Build it ONCE
+    and share between the sigma and RGBA probes: the cache holds a device
+    copy of the gathered param rows per distinct active set."""
     if not (
         getattr(hparams, "cell_cull", True)
         and bundle.is_mega
@@ -80,35 +85,29 @@ def _make_point_culler(hparams, bundle, params):
     ):
         return None
     centroids = np.asarray(bundle.centroids, np.float32)
-    gather = jax.jit(lambda p, i: jax.tree.map(lambda x: x[i], p))
-    cache = {}
+    cache = ParamSubsetCache(
+        params, centroids,
+        jax.jit(lambda p, i: jax.tree.map(lambda x: x[i], p)),
+        jnp.asarray,
+    )
 
     def inputs(points: np.ndarray):
+        # points stay host-side numpy here — the mask math is host work.
         mask = active_cells_for_points(
             points, centroids, bundle.boundary_margin,
             bundle.cluster_dim_start,
         )
-        key = mask.tobytes()
-        hit = cache.get(key)
-        if hit is None:
-            if mask.all():
-                hit = (params, jnp.asarray(centroids))
-            else:
-                idx = jnp.asarray(np.flatnonzero(mask).astype(np.int32))
-                hit = (gather(params, idx), jnp.asarray(centroids[mask]))
-            cache[key] = hit
-        return hit
+        return cache.get(mask)
 
     return inputs
 
 
-def _make_sigma_fn(hparams, bundle, params, chunk: int):
-    culler = _make_point_culler(hparams, bundle, params)
+def _make_sigma_fn(bundle, params, chunk: int, culler=None):
     if culler is None:
         apply = jax.jit(
             lambda p, xyz: bundle.apply(p, "fine", xyz, sigma_only=True)
         )
-        probe = lambda pts: apply(params, pts)
+        probe = lambda pts: apply(params, jnp.asarray(pts))
     else:
         # Culled centroids arrive as a traced ARGUMENT: one compile per
         # active COUNT, and jit can never serve a stale closure constant.
@@ -119,8 +118,8 @@ def _make_sigma_fn(hparams, bundle, params, chunk: int):
         )
 
         def probe(pts):
-            sub_params, sub_centroids = culler(np.asarray(pts))
-            return apply(sub_params, sub_centroids, pts)
+            sub_params, sub_centroids = culler(pts)
+            return apply(sub_params, sub_centroids, jnp.asarray(pts))
 
     def sigma_at(points: np.ndarray) -> np.ndarray:
         # Pad to a chunk multiple: a remainder-sized final call would be a
@@ -133,7 +132,7 @@ def _make_sigma_fn(hparams, bundle, params, chunk: int):
             )
         out = []
         for i in range(0, n_pad, chunk):
-            out.append(np.asarray(probe(jnp.asarray(points[i:i + chunk]))))
+            out.append(np.asarray(probe(points[i:i + chunk])))
         return np.concatenate(out)[:n, 0]
 
     return sigma_at
@@ -203,7 +202,8 @@ def step1_refine(hparams, sigma_at, tree: N3Tree, poses: np.ndarray) -> None:
     main_print(repr(tree))
 
 
-def step2_average(hparams, bundle, params, tree: N3Tree) -> None:
+def step2_average(hparams, bundle, params, tree: N3Tree,
+                  culler=None) -> None:
     """Average model queries per leaf (reference `create_octree.py:189-209`)."""
     main_print(f"Step 2: AA with {hparams.samples_per_cell} samples per cell")
     rng = np.random.default_rng(hparams.random_seed)
@@ -219,8 +219,6 @@ def step2_average(hparams, bundle, params, tree: N3Tree) -> None:
         leaves = np.concatenate(
             [leaves, np.repeat(leaves[:1], n_pad - n_leaves, axis=0)], axis=0
         )
-
-    culler = _make_point_culler(hparams, bundle, params)
 
     @jax.jit
     def eval_rgba(p, c, pts, dirs, idx):
@@ -279,6 +277,7 @@ def main(hparams: Namespace) -> None:
     bundle = make_nerf(hparams, poses.shape[0])
     params = bundle.pretrained_params
     if params is None:
+        from mega_nerf_tpu.models.factory import make_bg_nerf
         from mega_nerf_tpu.parallel.train_step import (
             make_optimizer,
             make_train_state,
@@ -287,7 +286,16 @@ def main(hparams: Namespace) -> None:
 
         opt = make_optimizer(hparams.lr, hparams.lr_decay_factor,
                              hparams.train_iterations)
-        template = make_train_state(bundle, None, opt, jax.random.PRNGKey(0))
+        # The checkpoint template must match the TrainState the run SAVED:
+        # a training run with a background NeRF serialized bg params +
+        # bg opt state too (runner._save_checkpoint), even though the bake
+        # only consumes the foreground weights.
+        bg_bundle = (
+            make_bg_nerf(hparams, poses.shape[0]) if hparams.bg_nerf
+            else None
+        )
+        template = make_train_state(bundle, bg_bundle, opt,
+                                    jax.random.PRNGKey(0))
         state, _ = ckpt_io.load_checkpoint(hparams.ckpt_path, template)
         params = state.fg_params
 
@@ -309,8 +317,9 @@ def main(hparams: Namespace) -> None:
     radius = ((max_values - min_values) * 0.5).tolist()
     main_print(f"Center and radius before autoscale: {center}, {radius}")
 
+    culler = _make_point_culler(hparams, bundle, params)
     sigma_at = _make_sigma_fn(
-        hparams, bundle, params, _point_chunk(hparams, bundle)
+        bundle, params, _point_chunk(hparams, bundle), culler
     )
     center, radius = auto_scale(hparams, sigma_at, center, radius)
     main_print(f"Center and radius after autoscale: {center}, {radius}")
@@ -331,7 +340,7 @@ def main(hparams: Namespace) -> None:
     )
 
     step1_refine(hparams, sigma_at, tree, poses)
-    step2_average(hparams, bundle, params, tree)
+    step2_average(hparams, bundle, params, tree, culler)
 
     tree.shrink_to_fit()
     main_print("Filling in internal nodes")

@@ -136,7 +136,10 @@ def main() -> None:
         print(f"{name}:", json.dumps(results[name]), flush=True)
 
     if args.ab_cull:
-        # Culling is exact: the rendered frames must match to jpg rounding.
+        # Culling is exact: the rendered frames must match to jpg rounding
+        # (a few u8 steps of backend matmul-batching noise through the
+        # codec at most). Enforce it — a silent mismatch would invalidate
+        # the A/B as evidence.
         from PIL import Image
 
         diffs = []
@@ -145,7 +148,12 @@ def main() -> None:
             a = np.asarray(Image.open(p_on), np.int16)
             b = np.asarray(Image.open(p_off), np.int16)
             diffs.append(int(np.abs(a - b).max()))
-        results["max_abs_rgb_diff_u8"] = max(diffs) if diffs else None
+        assert diffs, "ab_cull rendered no frames — nothing was compared"
+        results["max_abs_rgb_diff_u8"] = max(diffs)
+        results["cull_exact"] = max(diffs) <= 3
+        assert results["cull_exact"], (
+            f"cull-on frames diverge from cull-off by {max(diffs)} u8 steps"
+        )
 
     print(json.dumps({
         "metric": "flythrough_frames_per_sec",

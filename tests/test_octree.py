@@ -207,3 +207,41 @@ def test_grid_weight_world_units_with_nonunit_radius():
     expected_alpha0 = 1.0 - np.exp(-sigma_val * span_world / n_steps)
     got = weights.max()  # uniform field: the entry sample dominates
     np.testing.assert_allclose(got, expected_alpha0, rtol=0.15)
+
+
+def test_create_octree_from_bg_training_checkpoint(tmp_path):
+    """Checkpoints from runs WITH a background NeRF serialize bg params +
+    bg opt state; the bake's load template must match that TrainState
+    shape even though only the foreground weights are consumed."""
+    from mega_nerf_tpu.runtime.runner import Runner
+    from tests.synthetic import make_synthetic_dataset, tiny_train_hparams
+    import scripts.create_octree as co
+
+    ds = make_synthetic_dataset(tmp_path / "ds", n_train=2, n_val=1,
+                                hw=(12, 12))
+    hp = tiny_train_hparams(
+        ds, tmp_path / "exp", train_iterations=10, ckpt_interval=10,
+        ray_altitude_range=[-2.0, 2.0],
+    )
+    hp.bg_nerf = True
+    Runner(hp).train()
+
+    bake_hp = tiny_train_hparams(
+        ds, tmp_path / "unused",
+        ray_altitude_range=[-2.0, 2.0],
+        ckpt_path=str(tmp_path / "exp" / "0" / "models" / "10.ckpt"),
+    )
+    bake_hp.bg_nerf = True
+    bake_hp.dataset_path = str(ds)
+    bake_hp.output = str(tmp_path / "tree.npz")
+    bake_hp.alpha_thresh = 0.01
+    bake_hp.scale_alpha_thresh = 0.01
+    bake_hp.tree_branch_n = 2
+    bake_hp.init_grid_depth = 3
+    bake_hp.samples_per_cell = 4
+    bake_hp.masking_mode = "sigma"
+    bake_hp.weight_thresh = 0.001
+    bake_hp.embedding_index = 0
+    bake_hp.camera_params = [16, 16, 14, 14, 8, 8]
+    co.main(bake_hp)
+    assert (tmp_path / "tree.npz").exists()
