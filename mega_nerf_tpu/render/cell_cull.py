@@ -105,6 +105,25 @@ def active_cells_for_points(
                              boundary_margin, cluster_dim_start)
 
 
+def bucket_mask(mask: np.ndarray) -> np.ndarray:
+    """Pad an active-cell mask with lowest-index inactive cells up to the
+    next power-of-two size (capped at K). Exact: a padded-in cell was
+    proved zero-weight everywhere in the chunk's box, and the surviving
+    cells' weights don't depend on which zero cells ride along (the
+    per-point min distance is attained by an active cell)."""
+    k = mask.size
+    n_active = int(mask.sum())
+    target = 1
+    while target < n_active:
+        target *= 2
+    target = min(target, k)
+    if target == n_active:
+        return mask
+    mask = mask.copy()
+    mask[np.flatnonzero(~mask)[: target - n_active]] = True
+    return mask
+
+
 class ParamSubsetCache:
     """Mask-keyed cache of (stacked-params subset, centroids subset).
 
@@ -112,6 +131,15 @@ class ParamSubsetCache:
     eager dispatch costs ~0.4 s of relay round-trip, PERF.md). Shared by
     `Runner._culled_fg_inputs` and the octree bake probes so the caching /
     full-mask fast-path logic cannot drift between them.
+
+    Active counts are BUCKETED up to the next power of two by padding the
+    set with (provably-zero) inactive cells: the downstream render jit
+    compiles once per subset SIZE, and an unbucketed cull can see nearly K
+    distinct counts across an image/bake — measured on-chip, those extra
+    full-renderer XLA compiles (~40 s each over the relay) cost far more
+    than the <2x FLOP overshoot of the bucket (a 4x2 bake went 249.6 s
+    unbucketed vs 109.4 s cull-off; padding with zero-weight cells keeps
+    outputs exact, see module docstring). At most log2(K)+1 sizes compile.
 
     `gather(params, idx)` and `put(array)` are injected: the Runner's eval
     mesh needs sharding-aware versions, plain `jnp.asarray` works
@@ -131,6 +159,7 @@ class ParamSubsetCache:
         return [np.frombuffer(k, bool) for k in self._cache]
 
     def get(self, mask: np.ndarray):
+        mask = bucket_mask(mask)
         key = mask.tobytes()
         hit = self._cache.get(key)
         if hit is None:

@@ -48,6 +48,7 @@ from mega_nerf_tpu.parallel.train_step import (
 from mega_nerf_tpu.render.cell_cull import (
     ParamSubsetCache,
     active_cells,
+    bucket_mask,
     tile_order,
 )
 from mega_nerf_tpu.render.rendering import RenderSettings, render_rays
@@ -854,7 +855,10 @@ class Runner:
                 rays, fg_centroids_np, self.fg.boundary_margin,
                 self.fg.cluster_dim_start,
             )
-            submodules = max(int(image_mask.sum()), 1)
+            # Size chunks by the BUCKETED count — per-chunk compute runs on
+            # the power-of-two-padded subset (cell_cull.bucket_mask), which
+            # can exceed the raw image-level count.
+            submodules = max(int(bucket_mask(image_mask).sum()), 1)
             bg_k = (
                 int(self.bg.centroids.shape[0])
                 if self.bg is not None and getattr(self.bg, "is_mega", False)

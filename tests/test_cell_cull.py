@@ -292,6 +292,97 @@ def test_octree_bake_cull_equivalence(tmp_path, monkeypatch):
     )
 
 
+def test_bucket_pads_to_power_of_two():
+    """ParamSubsetCache buckets active counts to the next power of two
+    (capped at K) so the downstream per-SIZE render jit compiles at most
+    log2(K)+1 times per image/bake instead of up to K times."""
+    from mega_nerf_tpu.render.cell_cull import ParamSubsetCache, bucket_mask
+
+    k = 8
+    params = {"w": np.arange(k * 2, dtype=np.float32).reshape(k, 2)}
+    centroids = np.zeros((k, 3), np.float32)
+    cache = ParamSubsetCache(
+        params, centroids,
+        gather=lambda p, idx: jax.tree.map(lambda x: x[np.asarray(idx)], p),
+        put=np.asarray,
+    )
+    for n_active, expect in [(1, 1), (2, 2), (3, 4), (4, 4), (5, 8),
+                             (7, 8), (8, 8)]:
+        mask = np.zeros(k, bool)
+        mask[np.random.default_rng(n_active).choice(k, n_active,
+                                                    replace=False)] = True
+        out = bucket_mask(mask)
+        assert out.sum() == expect, (n_active, out)
+        assert (out | ~mask).all(), "bucket dropped an active cell"
+
+    # Cap at K when K is not a power of two.
+    mask = np.array([1, 0, 1, 1, 1, 1], bool)
+    assert bucket_mask(mask).sum() == 6
+
+    # Bucketing to the full set takes the no-gather fast path.
+    mask = np.zeros(k, bool)
+    mask[:5] = True
+    got_params, got_centroids = cache.get(mask)
+    assert got_params is params
+    # Distinct masks with the same bucketed set share one cache entry.
+    mask2 = np.zeros(k, bool)
+    mask2[3:] = True  # 5 active again -> bucketed to all 8
+    cache.get(mask2)
+    assert len(cache) == 1
+
+    # A strict subset gathers the padded rows in index order.
+    mask3 = np.zeros(k, bool)
+    mask3[[1, 6, 7]] = True  # 3 active -> bucket pads cell 0 in
+    sub, cen = cache.get(mask3)
+    np.testing.assert_array_equal(sub["w"], params["w"][[0, 1, 6, 7]])
+    assert cen.shape == (4, 3)
+
+
+@pytest.mark.parametrize("margin", [1.0, 1.15])
+def test_bucketed_blend_is_exact(margin):
+    """Padding the active set with provably-zero cells keeps the blend
+    bit-equal: the padded-in cells get zero weight over the subset too."""
+    rng = np.random.default_rng(5)
+    rays = _random_rays(rng, 32, origin_scale=1.0)
+    # 3 reachable cells + 5 impossible ones: bucket pads 3 -> 4.
+    centroids = np.concatenate([
+        np.array([[0, -0.7, 0], [0, 0.0, 0], [0, 0.7, 0]], np.float32),
+        np.stack([np.zeros(5), np.linspace(40, 80, 5),
+                  np.zeros(5)], axis=1).astype(np.float32),
+    ])
+    k = len(centroids)
+    mask = active_cells(rays, centroids, margin, 0)
+    assert mask[:3].all() and not mask[3:].any()
+
+    from mega_nerf_tpu.render.cell_cull import ParamSubsetCache
+
+    params = {"w": rng.normal(size=(k, 3, 4)).astype(np.float32)}
+    cache = ParamSubsetCache(
+        params, centroids,
+        gather=lambda p, idx: jax.tree.map(lambda x: x[np.asarray(idx)], p),
+        put=np.asarray,
+    )
+    sub_params, sub_centroids = cache.get(mask)
+    assert sub_centroids.shape == (4, 3)
+
+    t = rng.uniform(0, 1, (32, 16, 1)).astype(np.float32)
+    nf = rays[:, None, 6:7] * (1 - t) + rays[:, None, 7:8] * t
+    pts = (rays[:, None, :3] + nf * rays[:, None, 3:6]).reshape(-1, 3)
+
+    def apply_fn(p, xyz, dirs, image_indices, sigma_noise, sigma_only):
+        return xyz @ p["w"]
+
+    full = mega_apply(apply_fn, params,
+                      cluster_weights(pts, centroids, margin, 0), pts)
+    w_sub = cluster_weights(pts, np.asarray(sub_centroids), margin, 0)
+    # The padded-in cell (index 3 of the original set) never gets weight.
+    assert not np.asarray(w_sub)[:, -1].any()
+    bucketed = mega_apply(apply_fn, sub_params, w_sub, pts)
+    np.testing.assert_allclose(
+        np.asarray(bucketed), np.asarray(full), rtol=0, atol=1e-6
+    )
+
+
 def test_tile_order_is_local_permutation():
     from mega_nerf_tpu.render.cell_cull import tile_order
 
