@@ -124,6 +124,27 @@ def get_opts_base() -> argparse.ArgumentParser:
                              'sample box — identical images, fewer MLP '
                              'passes). Escape hatch; outputs are exact '
                              'either way')
+    parser.add_argument('--occupancy_path', type=str, default=None,
+                        help='baked octree .npz (scripts/create_octree.py) '
+                             'to tighten each eval ray\'s fg sampling '
+                             'interval to the occupied span '
+                             '(render/ray_bounds.py) — an opt-in LOSSY '
+                             'serving mode: reduce --coarse_samples/'
+                             '--fine_samples at unchanged sampling density '
+                             'and measure the PSNR delta '
+                             '(scripts/occupancy_bench.py)')
+    parser.add_argument('--occupancy_thresh', type=float, default=-1.0,
+                        help='leaf sigma threshold when rasterizing the '
+                             'occupancy grid from --occupancy_path; '
+                             'negative (default) = auto: the sigma at '
+                             'which one grid-voxel crossing adds 1% alpha')
+    parser.add_argument('--occupancy_dilate', type=int, default=1,
+                        help='6-neighbor dilation steps on the occupancy '
+                             'grid (absorbs interpolation bleed at cell '
+                             'boundaries)')
+    parser.add_argument('--occupancy_probes', type=int, default=128,
+                        help='host-side probe points per ray when '
+                             'tightening bounds against the occupancy grid')
     parser.add_argument('--ref_bg_sampling', default=False, action='store_true',
                         help='replicate the reference bg fine-sampling quirk '
                              '(descending-order coarse weights paired with '

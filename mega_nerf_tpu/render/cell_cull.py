@@ -55,6 +55,42 @@ import numpy as np
 _EDGE_SLACK = 1e-5
 
 
+def clamp_rays_to_fg(
+    rays: np.ndarray,
+    sphere_center=None,
+    sphere_radius=None,
+) -> np.ndarray:
+    """Copy of `rays` with far clamped to the foreground ellipsoid exit.
+
+    Scenes with a NeRF++ background carry far ~ 1e5 (the bg model owns
+    everything past the ellipsoid, `render/rendering.py:660-667`), so a
+    cull box built from raw [near, far] endpoints spans the whole scene
+    and culls NOTHING — measured on-chip: the 4x2 drone flythrough showed
+    zero steady-state cull win before this clamp. Foreground samples stop
+    at min(far, ellipsoid exit), so the box may too.
+
+    Host replica of `ops/geometry.intersect_sphere` (reference
+    `rendering.py:396-417`) in float64, inflated by 1e-5 relative so f32
+    device rounding can never place a sample past the host's box.
+    Always returns a fresh float64 array (callers mutate it in place)."""
+    if sphere_radius is None:
+        return np.array(rays, np.float64)
+    rays = np.asarray(rays, np.float64)
+    c = np.asarray(sphere_center, np.float64)
+    r = np.asarray(sphere_radius, np.float64)
+    o = (rays[:, :3] - c) / r
+    d = rays[:, 3:6] / r
+    d1 = -(d * o).sum(-1) / (d * d).sum(-1)
+    p = o + d1[:, None] * d
+    d2 = np.sqrt(np.maximum(1.0 - (p * p).sum(-1), 0.0)) / np.sqrt(
+        (d * d).sum(-1)
+    )
+    exit_t = np.maximum(d1 + d2, rays[:, 6]) * (1.0 + 1e-5)
+    out = rays.copy()
+    out[:, 7] = np.minimum(rays[:, 7], exit_t)
+    return out
+
+
 def chunk_point_box(rays: np.ndarray, cluster_dim_start: int = 0):
     """AABB containing every fg sample position of a chunk of rays.
 
@@ -83,7 +119,20 @@ def active_cells(
     """(K,) bool mask of submodules that can have nonzero routing weight for
     ANY foreground sample of these rays. Conservative (never culls a
     contributing cell) and typically tight for localized camera frusta.
+
+    Rays with a zero-width interval (far <= near) are excluded from the
+    box: they arise only from occupancy-collapsed bounds
+    (render/ray_bounds.py), where render_rays zeroes the trailing
+    last_delta so the ray's fg contribution — hence its routing — is
+    exactly zero. Without the exclusion one sky pixel per tile drags the
+    box out to the ellipsoid exit and no horizon tile ever culls.
     """
+    rays = np.asarray(rays)
+    live = rays[:, 7] > rays[:, 6]
+    if not live.all() and live.any():
+        rays = rays[live]
+    # All-collapsed chunk: every fg weight is zero — any non-empty mask is
+    # exact; fall through with the original rays for determinism.
     lo, hi = chunk_point_box(rays, cluster_dim_start)
     return _active_cells_box(lo, hi, centroids, boundary_margin,
                              cluster_dim_start)
@@ -173,6 +222,79 @@ class ParamSubsetCache:
                 )
             self._cache[key] = hit
         return hit
+
+
+def ray_support_masks(
+    rays: np.ndarray,
+    centroids: np.ndarray,
+    boundary_margin: float,
+    cluster_dim_start: int = 0,
+    probes: int = 16,
+    chunk: int = 65536,
+) -> np.ndarray:
+    """(N, K) bool: cells that can have nonzero routing weight anywhere on
+    each ray's OWN [near, far] segment — a per-RAY support set, far tighter
+    than the per-chunk AABB bound on oblique views (measured on the 4x2
+    drone flythrough: AABB chunks stayed at 8/8 active while per-point
+    support averages 2.5).
+
+    Conservative between probe points: for p within h of probe p1
+    (h = segment/(2*(probes-1))), d_j(p) >= d_j(p1) - h and
+    min_d(p) <= min_d(p1) + h, so "j active somewhere in the
+    h-neighborhood" implies d_j(p1) <= margin*min_d(p1) + (margin+1)*h —
+    the slackened test below. Intended for occupancy-TIGHTENED rays
+    (render/ray_bounds.py), whose short segments make the slack negligible
+    (width/30 vs cell pitches); it is valid (just looser) for raw rays.
+    Zero-width (collapsed) rays get an all-False row: their fg
+    contribution is exactly zero (render_rays zeroes their last_delta).
+
+    Distances run in the routing subspace [cluster_dim_start:3], matching
+    `models/mega.cluster_weights`. Vectorized f32 numpy in the
+    |p|^2 + |c|^2 - 2 p.c sgemm form; ~0.5 s for a 262k-ray frame.
+    """
+    rays = np.asarray(rays, np.float32)
+    c = np.asarray(centroids, np.float32)[:, cluster_dim_start:]
+    n, k = rays.shape[0], c.shape[0]
+    margin = max(float(boundary_margin), 1.0)
+    out = np.zeros((n, k), bool)
+    s = np.linspace(0.0, 1.0, probes, dtype=np.float32)
+    c_sq = (c**2).sum(-1)
+    for start in range(0, n, chunk):
+        seg = rays[start : start + chunk]
+        live = seg[:, 7] > seg[:, 6]
+        if not live.any():
+            continue
+        seg = seg[live]
+        t = seg[:, 6:7] * (1.0 - s) + seg[:, 7:8] * s  # (m, Q)
+        pts = (
+            seg[:, None, :3] + seg[:, None, 3:6] * t[..., None]
+        )[..., cluster_dim_start:]  # (m, Q, dims)
+        p_sq = (pts**2).sum(-1)
+        d_sq = p_sq[..., None] + c_sq - 2.0 * (pts @ c.T)  # (m, Q, K)
+        dist = np.sqrt(np.maximum(d_sq, 0.0))
+        h = (seg[:, 7] - seg[:, 6])[:, None, None] / (2.0 * (probes - 1))
+        act = dist <= margin * dist.min(-1, keepdims=True) + (
+            (margin + 1.0) * h + _EDGE_SLACK
+        )
+        dst = out[start : start + chunk]
+        dst[live] = act.any(1)
+        out[start : start + chunk] = dst
+    return out
+
+
+def support_order(masks: np.ndarray) -> np.ndarray:
+    """Permutation grouping rays by their support SET (ray_support_masks),
+    so consecutive chunks share one small active union instead of the
+    per-chunk unions degrading to the image-level set. Collapsed rays
+    (all-False rows) sort first — they join any chunk for free. Stable, so
+    ties keep scanline locality. Rays are independent rows of every render
+    pass; `Runner.render_image` un-permutes the outputs."""
+    masks = np.asarray(masks, bool)
+    k = masks.shape[1]
+    if k <= 62:
+        key = masks @ (np.int64(1) << np.arange(k, dtype=np.int64))
+        return np.argsort(key, kind="stable")
+    return np.lexsort(tuple(masks[:, i] for i in range(k - 1, -1, -1)))
 
 
 def tile_order(w: int, h: int, chunk_rays: int) -> np.ndarray:

@@ -1,0 +1,186 @@
+"""Occupancy-guided per-ray sampling bounds (opt-in serving acceleration).
+
+Volume rendering spends a FIXED per-ray sample budget uniformly (plus one
+hierarchical refinement) over [near, min(far, ellipsoid exit)]. For the
+aerial scenes this framework targets, most of that interval is empty air
+above the scene and empty earth below it — the budget is diluted by a
+geometry-free span several times thicker than the occupied shell. A baked
+PlenOctree (`scripts/create_octree.py`) knows where density actually
+lives: this module rasterizes its leaves into a dense occupancy grid and
+tightens each ray's foreground sampling interval to the occupied span, so
+a REDUCED sample count covers the geometry at unchanged sampling density.
+
+Unlike render/cell_cull.py (exact — provably-zero terms dropped), this is
+a LOSSY opt-in mode: regions outside the tightened interval are ones the
+bake measured as (near-)empty, not proved empty. Quality deltas are
+measured per scene (scripts/occupancy_bench.py, PERF.md). Enable with
+`--occupancy_path <octree.npz>` on eval/render entry points.
+
+The reference has no analogue (its octrees render only through the
+external svox viewer). The design follows NerfAcc-style occupancy-grid
+sampling (PAPERS.md: arxiv 2305.04966, 2404.10272) recast TPU-first:
+instead of per-sample occupancy tests and ray compaction on-device
+(dynamic shapes — TPU-hostile), bounds are computed HOST-SIDE in
+vectorized numpy per image, and the device graph keeps static shapes,
+receiving one extra (N, 2) input (`render_rays(..., fg_bounds=...)`).
+The NeRF++ background split is untouched: `has_bg` keys on the RAW far
+(`render/rendering.py:662`), so sky rays keep their background while
+their foreground interval collapses to the (empty) occupied span.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from mega_nerf_tpu.render.cell_cull import clamp_rays_to_fg
+
+
+def occupancy_grid(
+    tree,
+    thresh: float = 0.0,
+    dilate: int = 1,
+    max_res: int = 256,
+) -> np.ndarray:
+    """Dense (res, res, res) bool occupancy over the tree's [0,1]^3 coords.
+
+    A voxel is occupied iff some leaf with sigma (last data channel)
+    > `thresh` overlaps it, then dilated `dilate` voxels in the 6-neighbor
+    sense — dilation absorbs trilinear-interpolation bleed and keeps razor-
+    edge geometry inside the tightened interval. Resolution matches the
+    finest leaf (leaves are N-ary aligned so boxes rasterize exactly),
+    capped at `max_res` (a 256^3 bool grid is 16 MB of host memory).
+    """
+    leaves = tree.leaf_indices()
+    sigma = np.asarray(tree.get_leaf_data(leaves), np.float32)[..., -1]
+    corner, side = tree.leaf_bounds(leaves)
+    keep = sigma > thresh
+    corner, side = corner[keep], side[keep]
+    if corner.shape[0] == 0:
+        return np.zeros((1, 1, 1), bool)
+
+    res = min(int(round(1.0 / float(side.min()))), max_res)
+    grid = np.zeros((res, res, res), bool)
+    for s in np.unique(side):
+        sel = side == s
+        sub = int(round(1.0 / float(s)))
+        if sub <= res:
+            # Leaf boxes are exact voxel blocks at their own resolution:
+            # rasterize there, then upsample by repetition.
+            g = np.zeros((sub, sub, sub), bool)
+            idx = np.round(corner[sel] * sub).astype(np.int64)
+            idx = np.clip(idx, 0, sub - 1)
+            g[idx[:, 0], idx[:, 1], idx[:, 2]] = True
+            f = res // sub
+            if f > 1:
+                g = g.repeat(f, 0).repeat(f, 1).repeat(f, 2)
+            grid |= g
+        else:
+            # Leaf finer than the capped grid: N-ary alignment nests it
+            # inside exactly one voxel.
+            idx = np.clip((corner[sel] * res).astype(np.int64), 0, res - 1)
+            grid[idx[:, 0], idx[:, 1], idx[:, 2]] = True
+
+    for _ in range(max(int(dilate), 0)):
+        d = grid.copy()
+        d[1:] |= grid[:-1]
+        d[:-1] |= grid[1:]
+        d[:, 1:] |= grid[:, :-1]
+        d[:, :-1] |= grid[:, 1:]
+        d[:, :, 1:] |= grid[:, :, :-1]
+        d[:, :, :-1] |= grid[:, :, 1:]
+        grid = d
+    return grid
+
+
+def tighten_rays(
+    rays: np.ndarray,
+    grid: np.ndarray,
+    tree_invradius: np.ndarray,
+    tree_offset: np.ndarray,
+    probes: int = 128,
+    margin: int = 1,
+    sphere_center: Optional[np.ndarray] = None,
+    sphere_radius: Optional[np.ndarray] = None,
+    chunk: int = 65536,
+) -> np.ndarray:
+    """(N, 2) float32 tightened [near, far] of each ray's fg interval.
+
+    Probes `probes` points uniformly over [near, min(far, ellipsoid exit)]
+    (the device's fg interval, via cell_cull.clamp_rays_to_fg) against the
+    occupancy grid; the output brackets the first..last occupied probe
+    with `margin` extra probe steps each side (the occupied span between
+    two probes `step` apart is bracketed to +-1 step by construction, so
+    margin >= 1 covers sub-step geometry the probes straddle). Rays whose
+    probes hit nothing collapse to a zero-width interval at the fg end —
+    all fg weights vanish and (for bg rays) the background alone renders.
+
+    `tree_invradius`/`tree_offset`: the octree's world->tree transform
+    (N3Tree.world_to_tree). Pure numpy, chunked to bound the (chunk,
+    probes, 3) intermediate; ~8 ms per 64k rays at 128 probes.
+    """
+    rays = np.asarray(rays)
+    out = np.empty((rays.shape[0], 2), np.float32)
+    s = np.linspace(0.0, 1.0, probes, dtype=np.float32)
+    res = grid.shape[0]
+    inv = np.asarray(tree_invradius, np.float32)
+    off = np.asarray(tree_offset, np.float32)
+    for start in range(0, rays.shape[0], chunk):
+        r = rays[start : start + chunk]
+        fg = clamp_rays_to_fg(r, sphere_center, sphere_radius)
+        near = fg[:, 6].astype(np.float32)
+        fend = fg[:, 7].astype(np.float32)
+        t = near[:, None] * (1.0 - s) + fend[:, None] * s  # (n, P)
+        pts = (
+            r[:, None, :3].astype(np.float32)
+            + r[:, None, 3:6].astype(np.float32) * t[..., None]
+        )
+        tc = pts * inv + off
+        inside = ((tc >= 0.0) & (tc < 1.0)).all(-1)
+        vox = np.clip((tc * res).astype(np.int64), 0, res - 1)
+        hit = inside & grid[vox[..., 0], vox[..., 1], vox[..., 2]]
+        any_hit = hit.any(1)
+        first = hit.argmax(1)
+        last = probes - 1 - hit[:, ::-1].argmax(1)
+        step = (fend - near) / (probes - 1)
+        lo = near + np.maximum(first - margin, 0) * step
+        hi = near + np.minimum(last + margin, probes - 1) * step
+        out[start : start + chunk, 0] = np.where(any_hit, lo, fend)
+        out[start : start + chunk, 1] = np.where(any_hit, hi, fend)
+    return out
+
+
+def load_occupancy(
+    path,
+    thresh: Optional[float] = None,
+    dilate: int = 1,
+    max_res: int = 256,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(grid, invradius, offset) from a baked octree `.npz`.
+
+    `thresh=None` (auto) places the sigma cutoff where crossing one grid
+    voxel adds 1% alpha: sigma = -ln(0.99) / voxel_world_size. Baked
+    trees keep large low-sigma "fog" leaves whose alpha contribution per
+    crossing is negligible — thresh 0.0 marks ~80% of the 4x2 drone
+    bake's domain occupied (no interval ever tightens), the auto cutoff
+    ~14% (the actual content shell)."""
+    from mega_nerf_tpu.octree import N3Tree
+
+    tree = N3Tree.load(path)
+    if thresh is None or thresh < 0:
+        leaves = tree.leaf_indices()
+        _, side = tree.leaf_bounds(leaves)
+        res = min(int(round(1.0 / float(side.min()))), max_res)
+        # invradius is per-axis: use the COARSEST axis (largest voxel) so
+        # the cutoff is conservative on every axis.
+        voxel_world = float(
+            (1.0 / np.asarray(tree.invradius)).max()
+        ) / res
+        thresh = -np.log(0.99) / voxel_world
+    return (
+        occupancy_grid(tree, thresh=float(thresh), dilate=dilate,
+                       max_res=max_res),
+        np.asarray(tree.invradius, np.float32),
+        np.asarray(tree.offset, np.float32),
+    )

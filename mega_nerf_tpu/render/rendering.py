@@ -618,12 +618,19 @@ def render_rays(
     sphere_radius: Optional[jnp.ndarray] = None,
     train: bool = False,
     key: Optional[jax.Array] = None,
+    fg_bounds: Optional[jnp.ndarray] = None,  # (N, 2) tightened fg interval
 ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
     """Render a batch of rays -> (results dict, bg_rays_present scalar).
 
     Parity: reference `render_rays` (`rendering.py:15-173`). The results dict
     carries the same keys (`rgb_fine`, `depth_fine`, `bg_lambda_fine`,
     `fg_rgb_fine`, ... depending on settings).
+
+    `fg_bounds` (opt-in, render/ray_bounds.py): occupancy-tightened
+    [near, far] for the FOREGROUND sampling interval only — applied after
+    the ellipsoid clamp and never consulted by the `has_bg` background
+    decision, which keys on the ray's raw far. With `fg_bounds=None` the
+    graph is unchanged.
     """
     n_rays = rays.shape[0]
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
@@ -706,6 +713,20 @@ def render_rays(
             train=train,
             key=k_bg,
         )
+
+    if fg_bounds is not None:
+        # Tightened interval can only shrink: the host computes it within
+        # [near, min(far, ellipsoid exit)] (ray_bounds.tighten_rays), and
+        # the max/min below enforce it even against a stale grid. A
+        # collapsed (zero-width) interval means "the bake saw nothing
+        # anywhere on this ray": every fg delta degenerates to 0 AND the
+        # trailing last_delta is zeroed, so the fg contribution is exactly
+        # zero (not "whatever sigma at the collapse point times a huge
+        # last_delta") — the ray renders pure background, and its collapse
+        # POSITION is provably immaterial (cell_cull boxes exploit this).
+        near = jnp.maximum(near, fg_bounds[:, 0:1])
+        far = jnp.maximum(jnp.minimum(far, fg_bounds[:, 1:2]), near)
+        last_delta = jnp.where(far > near, last_delta, 0.0)
 
     z_steps = jnp.linspace(0.0, 1.0, settings.coarse_samples)
     z_vals = near * (1.0 - z_steps) + far * z_steps

@@ -49,8 +49,12 @@ from mega_nerf_tpu.render.cell_cull import (
     ParamSubsetCache,
     active_cells,
     bucket_mask,
+    clamp_rays_to_fg,
+    ray_support_masks,
+    support_order,
     tile_order,
 )
+from mega_nerf_tpu.render.ray_bounds import tighten_rays
 from mega_nerf_tpu.render.rendering import RenderSettings, render_rays
 from mega_nerf_tpu.runtime import checkpoints as ckpt_io
 from mega_nerf_tpu.runtime.logging import MetricsWriter, is_master, main_print, main_tqdm
@@ -699,7 +703,7 @@ class Runner:
 
     # ---------------------------------------------------------------- render
 
-    def _get_eval_render_fn(self):
+    def _get_eval_render_fn(self, bounded: bool = False):
         """Eval render jitted over a LOCAL data mesh: every chip this process
         owns renders a slice of each ray chunk (params replicated, rays
         sharded). The reference leaves all but one GPU idle during
@@ -707,8 +711,14 @@ class Runner:
         an 8-chip host renders 8x faster. The mesh is local (not the global
         training mesh) because eval images are strided per process
         (reference `runner.py:395-403`) — each process renders whole images
-        independently."""
+        independently.
+
+        `bounded=True` builds the occupancy variant taking a trailing
+        (N, 2) `fg_bounds` input (render/ray_bounds.py); the default
+        graph is byte-identical to the pre-occupancy one."""
         if self._eval_render_fn is None:
+            self._eval_render_fn = {}
+        if bounded not in self._eval_render_fn:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
             hp = self.hparams
@@ -716,30 +726,37 @@ class Runner:
                 hp, get_depth=True, get_bg_fg_rgb=True
             )
 
-            local = np.array(jax.local_devices())
-            self._eval_mesh = Mesh(local, ("ldata",))
-            self._eval_replicated = NamedSharding(self._eval_mesh, P())
-            sharded = NamedSharding(self._eval_mesh, P("ldata"))
-            self._eval_sharded = sharded
+            if getattr(self, "_eval_mesh", None) is None:
+                local = np.array(jax.local_devices())
+                self._eval_mesh = Mesh(local, ("ldata",))
+                self._eval_replicated = NamedSharding(self._eval_mesh, P())
+                self._eval_sharded = NamedSharding(
+                    self._eval_mesh, P("ldata")
+                )
+            sharded = self._eval_sharded
 
-            def fn(fg_params, bg_params, rays, image_indices):
+            def fn(fg_params, bg_params, rays, image_indices,
+                   fg_bounds=None):
                 results, _ = render_rays(
                     self.fg, self.bg, fg_params, bg_params, rays,
                     image_indices, settings,
                     self.sphere_center, self.sphere_radius, train=False,
+                    fg_bounds=fg_bounds,
                 )
                 return results
 
-            self._eval_render_fn = jax.jit(
-                fn,
-                in_shardings=(
-                    self._eval_replicated, self._eval_replicated,
-                    sharded, sharded,
-                ),
+            shardings = (
+                self._eval_replicated, self._eval_replicated,
+                sharded, sharded,
             )
-        return self._eval_render_fn
+            if bounded:
+                shardings = shardings + (sharded,)
+            self._eval_render_fn[bounded] = jax.jit(
+                fn, in_shardings=shardings
+            )
+        return self._eval_render_fn[bounded]
 
-    def _get_eval_render_fn_culled(self):
+    def _get_eval_render_fn_culled(self, bounded: bool = False):
         """Eval render for culled mega mixtures (render/cell_cull.py): the
         fg stacked params AND centroids arrive as traced ARGUMENTS (sliced
         to a chunk's active cells), so chunks with different active sets of
@@ -748,30 +765,58 @@ class Runner:
         would silently render with a stale set: jax keys its cache on
         function identity + argument shapes, never on closure contents."""
         if getattr(self, "_eval_render_fn_culled", None) is None:
+            self._eval_render_fn_culled = {}
+        if bounded not in self._eval_render_fn_culled:
             self._get_eval_render_fn()  # build the mesh/shardings
             hp = self.hparams
             settings = RenderSettings.from_hparams(
                 hp, get_depth=True, get_bg_fg_rgb=True
             )
 
-            def fn(fg_params, bg_params, fg_centroids, rays, image_indices):
+            def fn(fg_params, bg_params, fg_centroids, rays, image_indices,
+                   fg_bounds=None):
                 fg = dataclasses.replace(self.fg, centroids=fg_centroids)
                 results, _ = render_rays(
                     fg, self.bg, fg_params, bg_params, rays,
                     image_indices, settings,
                     self.sphere_center, self.sphere_radius, train=False,
+                    fg_bounds=fg_bounds,
                 )
                 return results
 
-            self._eval_render_fn_culled = jax.jit(
-                fn,
-                in_shardings=(
-                    self._eval_replicated, self._eval_replicated,
-                    self._eval_replicated,
-                    self._eval_sharded, self._eval_sharded,
-                ),
+            shardings = (
+                self._eval_replicated, self._eval_replicated,
+                self._eval_replicated,
+                self._eval_sharded, self._eval_sharded,
             )
-        return self._eval_render_fn_culled
+            if bounded:
+                shardings = shardings + (self._eval_sharded,)
+            self._eval_render_fn_culled[bounded] = jax.jit(
+                fn, in_shardings=shardings
+            )
+        return self._eval_render_fn_culled[bounded]
+
+    def _get_occupancy(self):
+        """Lazy (grid, invradius, offset) from --occupancy_path
+        (render/ray_bounds.py), or None when the flag is unset."""
+        hp = self.hparams
+        path = getattr(hp, "occupancy_path", None)
+        if not path:
+            return None
+        if getattr(self, "_occupancy", None) is None:
+            from mega_nerf_tpu.render.ray_bounds import load_occupancy
+
+            self._occupancy = load_occupancy(
+                path,
+                thresh=float(getattr(hp, "occupancy_thresh", -1.0)),
+                dilate=int(getattr(hp, "occupancy_dilate", 1)),
+            )
+            grid = self._occupancy[0]
+            main_print(
+                f"Occupancy grid {grid.shape} from {path}: "
+                f"{100.0 * grid.mean():.1f}% occupied"
+            )
+        return self._occupancy
 
     def _culled_fg_inputs(self, fg_params, mask: np.ndarray):
         """(stacked-params subset, centroids subset) on the eval mesh for
@@ -847,14 +892,56 @@ class Runner:
         fg_centroids_np = (
             np.asarray(self.fg.centroids, np.float32) if cull else None
         )
+        sphere_c_np = (
+            None if self.sphere_center is None
+            else np.asarray(self.sphere_center, np.float64)
+        )
+        sphere_r_np = (
+            None if self.sphere_radius is None
+            else np.asarray(self.sphere_radius, np.float64)
+        )
+        # Opt-in occupancy-tightened fg sampling bounds (--occupancy_path,
+        # render/ray_bounds.py) — per-ray, computed host-side.
+        fg_bounds = None
+        occ = self._get_occupancy()
+        if occ is not None:
+            grid, occ_inv, occ_off = occ
+            fg_bounds = tighten_rays(
+                rays, grid, occ_inv, occ_off,
+                probes=int(getattr(hp, "occupancy_probes", 128)),
+                sphere_center=sphere_c_np, sphere_radius=sphere_r_np,
+            )
         if cull:
+            # Cull boxes end at the fg ellipsoid exit, not the (possibly
+            # ~1e5, bg-owned) ray far — the RENDERED rays keep raw far,
+            # only the mask math sees the clamp (cell_cull.clamp_rays_to_fg).
+            cull_rays = clamp_rays_to_fg(rays, sphere_c_np, sphere_r_np)
+            if fg_bounds is not None:
+                # Occupancy-tightened intervals shrink the cull boxes too:
+                # fg samples provably lie within [lo, hi]. Collapsed rays
+                # keep a zero-width interval — active_cells excludes them
+                # from the box (their fg contribution is exactly zero:
+                # render_rays zeroes their last_delta).
+                cull_rays[:, 6] = np.maximum(cull_rays[:, 6], fg_bounds[:, 0])
+                cull_rays[:, 7] = np.minimum(cull_rays[:, 7], fg_bounds[:, 1])
+                cull_rays[:, 7] = np.maximum(cull_rays[:, 7], cull_rays[:, 6])
             # Image-level active set sizes the chunks: with few cells in
             # view, each chunk's MLP passes shrink and more rays fit the
             # point budget. The (uncullable) bg mixture gets its own bound.
             image_mask = active_cells(
-                rays, fg_centroids_np, self.fg.boundary_margin,
+                cull_rays, fg_centroids_np, self.fg.boundary_margin,
                 self.fg.cluster_dim_start,
             )
+            if fg_bounds is None and image_mask.all():
+                # Without occupancy-tightened bounds, per-chunk boxes under
+                # a full image-level set essentially never shrink (measured
+                # on-chip, 4x2 drone flythrough: steady 35.9 s/frame culled
+                # vs 34.95 plain, after ~1000 s of per-size compiles) — the
+                # fg interval legitimately spans the camera-enclosing
+                # ellipsoid, so every tile's box reaches every cell. Skip
+                # the culled path outright; occupancy bounds re-enable it.
+                cull = False
+        if cull:
             # Size chunks by the BUCKETED count — per-chunk compute runs on
             # the power-of-two-padded subset (cell_cull.bucket_mask), which
             # can exceed the raw image-level count.
@@ -875,7 +962,22 @@ class Runner:
         )
         chunk = ((chunk + n_local - 1) // n_local) * n_local
         order = None
-        if cull and n == metadata.W * metadata.H:
+        ray_masks = None
+        if cull and fg_bounds is not None:
+            # Occupancy-tightened segments are short enough for per-RAY
+            # support sets; grouping rays by support set beats any spatial
+            # tiling (AABB chunk bounds stay at the full image-level set on
+            # oblique views — see cell_cull.ray_support_masks).
+            ray_masks = ray_support_masks(
+                cull_rays, fg_centroids_np, self.fg.boundary_margin,
+                self.fg.cluster_dim_start,
+            )
+            order = support_order(ray_masks)
+            rays = rays[order]
+            cull_rays = cull_rays[order]
+            fg_bounds = fg_bounds[order]
+            ray_masks = ray_masks[order]
+        elif cull and n == metadata.W * metadata.H:
             # Square-tile chunk order tightens each chunk's sample box
             # (scanline chunks span the full image width) — more culled
             # cells per chunk, identical per-ray outputs (rays are
@@ -890,8 +992,23 @@ class Runner:
                 if len(cache) > 8:
                     cache.pop(next(iter(cache)))
             rays = rays[order]
+            cull_rays = cull_rays[order]
+            if fg_bounds is not None:
+                fg_bounds = fg_bounds[order]
         n_padded = ((n + chunk - 1) // chunk) * chunk
         rays = np.concatenate([rays, np.tile(rays[-1:], (n_padded - n, 1))])
+        if cull:
+            cull_rays = np.concatenate(
+                [cull_rays, np.tile(cull_rays[-1:], (n_padded - n, 1))]
+            )
+        if fg_bounds is not None:
+            fg_bounds = np.concatenate(
+                [fg_bounds, np.tile(fg_bounds[-1:], (n_padded - n, 1))]
+            )
+        if ray_masks is not None:
+            ray_masks = np.concatenate(
+                [ray_masks, np.tile(ray_masks[-1:], (n_padded - n, 1))]
+            )
 
         image_indices = (
             np.full(chunk, metadata.image_index, np.int32)
@@ -899,7 +1016,7 @@ class Runner:
             else None
         )
 
-        render_fn = self._get_eval_render_fn()
+        render_fn = self._get_eval_render_fn(bounded=fg_bounds is not None)
         fg_params, bg_params = self._eval_params(state)
         # Explicit placement: in multi-process jax, numpy inputs may not be
         # implicitly converted against a non-trivial sharding. The eval mesh
@@ -923,26 +1040,41 @@ class Runner:
 
         depth = max(1, int(getattr(hp, "render_dispatch_depth", 2)))
         pending: deque = deque()
+        bounded = fg_bounds is not None
         for start in range(0, n_padded, chunk):
             chunk_rays = rays[start : start + chunk]
             rays_dev = jax.device_put(chunk_rays, self._eval_sharded)
+            tail = ()
+            if bounded:
+                tail = (jax.device_put(
+                    fg_bounds[start : start + chunk], self._eval_sharded
+                ),)
             if cull:
-                # Per-chunk refinement of the image-level set (always a
-                # subset: a smaller box can only tighten both bounds).
-                mask = active_cells(
-                    chunk_rays, fg_centroids_np, self.fg.boundary_margin,
-                    self.fg.cluster_dim_start,
-                )
+                if ray_masks is not None:
+                    # Union of the chunk's (support-sorted) per-ray sets.
+                    mask = ray_masks[start : start + chunk].any(0)
+                    if not mask.any():
+                        # Every ray collapsed: zero fg everywhere, any
+                        # non-empty set is exact.
+                        mask = mask.copy()
+                        mask[0] = True
+                else:
+                    # Per-chunk refinement of the image-level set (always a
+                    # subset: a smaller box can only tighten both bounds).
+                    mask = active_cells(
+                        cull_rays[start : start + chunk], fg_centroids_np,
+                        self.fg.boundary_margin, self.fg.cluster_dim_start,
+                    )
                 sub_params, sub_centroids = self._culled_fg_inputs(
                     fg_params, mask
                 )
-                pending.append(self._get_eval_render_fn_culled()(
+                pending.append(self._get_eval_render_fn_culled(bounded)(
                     sub_params, bg_params, sub_centroids, rays_dev,
-                    image_indices,
+                    image_indices, *tail,
                 ))
             else:
                 pending.append(render_fn(
-                    fg_params, bg_params, rays_dev, image_indices,
+                    fg_params, bg_params, rays_dev, image_indices, *tail,
                 ))
             if len(pending) > depth:
                 drain(pending.popleft())

@@ -13,6 +13,7 @@ evaluates every submodule that owns ANY point of the batch.
 from argparse import Namespace
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -381,6 +382,221 @@ def test_bucketed_blend_is_exact(margin):
     np.testing.assert_allclose(
         np.asarray(bucketed), np.asarray(full), rtol=0, atol=1e-6
     )
+
+
+def test_clamp_rays_to_fg_matches_device_intersect():
+    """Host fg-exit clamp (cell_cull.clamp_rays_to_fg) agrees with the
+    device's ops.geometry.intersect_sphere and is conservative: the
+    clamped far is never below the device's effective fg interval end."""
+    import jax.numpy as jnp
+
+    from mega_nerf_tpu.ops.geometry import intersect_sphere
+    from mega_nerf_tpu.render.cell_cull import clamp_rays_to_fg
+
+    rng = np.random.default_rng(11)
+    c = np.array([0.4, -0.1, 0.05], np.float64)
+    r = np.array([3.6, 2.7, 2.1], np.float64)
+    o = c + rng.uniform(-0.5, 0.5, (64, 3)) * r  # strictly inside
+    d = rng.normal(size=(64, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate([
+        o, d, np.full((64, 1), 0.05), np.full((64, 1), 1e5)
+    ], axis=1).astype(np.float32)
+
+    clamped = clamp_rays_to_fg(rays, c, r)
+    dev = np.asarray(intersect_sphere(
+        jnp.asarray(rays[:, :3]), jnp.asarray(rays[:, 3:6]),
+        jnp.asarray(c, jnp.float32), jnp.asarray(r, jnp.float32),
+    ))
+    dev_end = np.minimum(rays[:, 7], np.maximum(dev, rays[:, 6]))
+    assert (clamped[:, 7] >= dev_end).all(), "clamp below device fg end"
+    np.testing.assert_allclose(clamped[:, 7], dev_end, rtol=1e-4)
+    # Everything but far is untouched; the no-sphere path returns an
+    # unclamped COPY (callers mutate the result in place).
+    np.testing.assert_array_equal(clamped[:, :7], rays[:, :7].astype(np.float64))
+    unclamped = clamp_rays_to_fg(rays)
+    assert unclamped is not rays
+    np.testing.assert_array_equal(unclamped, rays.astype(np.float64))
+
+
+def test_cull_engages_on_unbounded_far_only_after_clamp():
+    """bg scenes carry far ~ 1e5: the raw box spans every cell (nothing
+    culls — the measured on-chip no-win), the clamped box culls."""
+    from mega_nerf_tpu.render.cell_cull import clamp_rays_to_fg
+
+    c = np.zeros(3, np.float64)
+    r = np.ones(3, np.float64)
+    # Camera near the -y edge looking further -y: only the -y cell is
+    # reachable inside the unit sphere.
+    o = np.tile(np.array([0.0, -0.5, 0.0], np.float32), (16, 1))
+    d = np.tile(np.array([0.0, -1.0, 0.0], np.float32), (16, 1))
+    d += np.random.default_rng(3).normal(scale=0.03, size=(16, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate([
+        o, d, np.full((16, 1), 0.05), np.full((16, 1), 1e5)
+    ], axis=1).astype(np.float32)
+    centroids = np.array([[0, -0.8, 0], [0, 0.8, 0], [0, 30, 0]], np.float32)
+
+    raw = active_cells(rays, centroids, 1.15, 0)
+    assert raw.all(), "raw far=1e5 box should reach every cell"
+    clamped = active_cells(
+        clamp_rays_to_fg(rays, c, r), centroids, 1.15, 0
+    )
+    assert clamped[0] and not clamped[2], clamped
+
+
+def test_ray_support_masks_conservative():
+    """The probed per-ray support set must contain every cell that
+    cluster_weights gives nonzero weight ANYWHERE on the segment —
+    checked against dense sampling far finer than the probe spacing."""
+    from mega_nerf_tpu.models.mega import cluster_weights
+    from mega_nerf_tpu.render.cell_cull import ray_support_masks
+
+    rng = np.random.default_rng(7)
+    k = 8
+    centroids = np.concatenate([
+        np.zeros((k, 1), np.float32),
+        rng.uniform(-1, 1, (k, 2)).astype(np.float32),
+    ], axis=1)
+    n = 64
+    o = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    near = rng.uniform(0.05, 0.3, (n, 1)).astype(np.float32)
+    far = near + rng.uniform(0.0, 1.5, (n, 1)).astype(np.float32)
+    far[: n // 8] = near[: n // 8]  # some collapsed rays
+    rays = np.concatenate([o, d, near, far], axis=1)
+
+    for margin, cds in [(1.0, 0), (1.15, 0), (1.15, 1)]:
+        masks = ray_support_masks(rays, centroids, margin, cds, probes=16)
+        assert not masks[: n // 8].any(), "collapsed rays must be all-False"
+        t = np.linspace(0, 1, 301, dtype=np.float32)[None, :, None]
+        pts = o[:, None] + d[:, None] * (
+            near[:, None] * (1 - t) + far[:, None] * t
+        )
+        w = np.asarray(cluster_weights(
+            jnp.asarray(pts.reshape(-1, 3)), jnp.asarray(centroids),
+            margin, cds,
+        )).reshape(n, -1, k)
+        true_support = (w > 0).any(1)
+        live = (rays[:, 7] > rays[:, 6])[:, None]
+        missed = true_support & live & ~masks
+        assert not missed.any(), (margin, cds, np.argwhere(missed)[:5])
+        # And not vacuously loose: strictly fewer than all cells active.
+        assert masks.sum() < live.sum() * k * 0.9
+
+
+def test_support_order_groups_identical_sets():
+    from mega_nerf_tpu.render.cell_cull import support_order
+
+    rng = np.random.default_rng(0)
+    masks = rng.random((1000, 8)) < 0.25
+    order = support_order(masks)
+    keys = (masks[order] @ (1 << np.arange(8))).astype(int)
+    assert (np.diff(keys) >= 0).all(), "identical sets must be contiguous"
+    assert sorted(order) == list(range(1000))
+
+
+def test_render_image_occupancy_plus_cull_matches_occupancy_only(
+        tmp_path, monkeypatch):
+    """With a real (partial) occupancy grid, the culled render must equal
+    the uncculled render under the SAME bounds — culling stays exact when
+    composed with occupancy tightening (support-order path), including
+    collapsed rays."""
+    from mega_nerf_tpu.data.torch_io import save_pt
+    from mega_nerf_tpu.parallel.train_step import (
+        make_optimizer,
+        make_train_state,
+    )
+    from mega_nerf_tpu.runtime.runner import Runner
+    ds = make_synthetic_dataset(tmp_path / "ds", n_train=3, n_val=1,
+                                hw=(16, 16))
+    centroid_meta = {
+        "centroids": np.array(
+            [[0, -0.7, 0], [0, 0.7, 0], [0, -50, 0], [0, 50, 0]], np.float32),
+        "cluster_2d": False,
+        "grid_dim": [4, 1],
+        "min_position": np.full(3, -60.0, np.float32),
+        "max_position": np.full(3, 60.0, np.float32),
+    }
+    save_pt(centroid_meta, tmp_path / "params.pt")
+    hp = tiny_train_hparams(ds, tmp_path / "exp",
+                            train_mega_nerf=str(tmp_path / "params.pt"),
+                            train_iterations=5, ckpt_interval=100)
+    hp.image_pixel_batch_size = 96  # several chunks
+    runner = Runner(hp, set_experiment_path=False)
+    opt = make_optimizer(hp.lr, hp.lr_decay_factor, hp.train_iterations)
+    state = make_train_state(runner.fg, None, opt, runner.init_key)
+    meta = runner.val_items[0]
+
+    # Occupied only near the scene content (|p| < ~2): rays pointing away
+    # collapse, others tighten. World [-4, 4] -> tree [0, 1].
+    grid = np.zeros((16, 16, 16), bool)
+    grid[5:11, 5:11, 5:11] = True
+    inv = np.full(3, 1.0 / 8.0, np.float32)
+    off = np.full(3, 0.5, np.float32)
+    monkeypatch.setattr(
+        Runner, "_get_occupancy", lambda self: (grid, inv, off)
+    )
+
+    hp.cell_cull = True
+    culled = runner.render_image(meta, state)
+    assert runner._cull_cache is not None and len(runner._cull_cache)
+    masks = runner._cull_cache.masks()
+    assert all(m.sum() <= 2 for m in masks), masks
+
+    hp.cell_cull = False
+    runner2 = Runner(hp, set_experiment_path=False)
+    plain = runner2.render_image(meta, state)
+
+    assert culled.keys() == plain.keys()
+    for k in culled:
+        np.testing.assert_allclose(
+            culled[k], plain[k], rtol=0, atol=2e-6, err_msg=k
+        )
+
+
+def test_cull_gated_off_when_image_set_full(tmp_path):
+    """When every cell is active at the image level and no occupancy
+    bounds exist, the culled path is skipped outright (measured on-chip:
+    per-chunk boxes never shrink then — the variant only added per-size
+    compiles, PERF.md round 4)."""
+    from mega_nerf_tpu.parallel.train_step import (
+        make_optimizer,
+        make_train_state,
+    )
+
+    ds = make_synthetic_dataset(tmp_path / "ds", n_train=3, n_val=1,
+                                hw=(16, 16))
+    # Both cells inside every view's sample box -> full image-level set.
+    centroid_meta = {
+        "centroids": np.array([[0, -0.5, 0], [0, 0.5, 0]], np.float32),
+        "cluster_2d": False,
+        "grid_dim": [2, 1],
+        "min_position": np.full(3, -60.0, np.float32),
+        "max_position": np.full(3, 60.0, np.float32),
+    }
+    save_pt(centroid_meta, tmp_path / "params.pt")
+    hp = tiny_train_hparams(ds, tmp_path / "exp",
+                            train_mega_nerf=str(tmp_path / "params.pt"),
+                            train_iterations=5, ckpt_interval=100)
+    runner = Runner(hp, set_experiment_path=False)
+    opt = make_optimizer(hp.lr, hp.lr_decay_factor, hp.train_iterations)
+    state = make_train_state(runner.fg, None, opt, runner.init_key)
+
+    from mega_nerf_tpu.render.cell_cull import active_cells as ac
+    from mega_nerf_tpu.data.memory_dataset import generate_image_rays
+
+    meta = runner.val_items[0]
+    rays = generate_image_rays(meta, runner.near, runner.far,
+                               runner.ray_altitude_range, hp.center_pixels)
+    assert ac(rays, centroid_meta["centroids"], runner.fg.boundary_margin,
+              runner.fg.cluster_dim_start).all(), "scene must be full-set"
+
+    hp.cell_cull = True
+    runner.render_image(meta, state)
+    assert getattr(runner, "_cull_cache", None) is None or \
+        len(runner._cull_cache) == 0, "culled path ran despite the gate"
 
 
 def test_tile_order_is_local_permutation():
