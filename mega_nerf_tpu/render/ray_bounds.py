@@ -37,6 +37,20 @@ import numpy as np
 from mega_nerf_tpu.render.cell_cull import clamp_rays_to_fg
 
 
+def _dilate6(grid: np.ndarray, steps: int) -> np.ndarray:
+    """6-neighbor binary dilation, `steps` times."""
+    for _ in range(max(int(steps), 0)):
+        d = grid.copy()
+        d[1:] |= grid[:-1]
+        d[:-1] |= grid[1:]
+        d[:, 1:] |= grid[:, :-1]
+        d[:, :-1] |= grid[:, 1:]
+        d[:, :, 1:] |= grid[:, :, :-1]
+        d[:, :, :-1] |= grid[:, :, 1:]
+        grid = d
+    return grid
+
+
 def occupancy_grid(
     tree,
     thresh: float = 0.0,
@@ -82,16 +96,7 @@ def occupancy_grid(
             idx = np.clip((corner[sel] * res).astype(np.int64), 0, res - 1)
             grid[idx[:, 0], idx[:, 1], idx[:, 2]] = True
 
-    for _ in range(max(int(dilate), 0)):
-        d = grid.copy()
-        d[1:] |= grid[:-1]
-        d[:-1] |= grid[1:]
-        d[:, 1:] |= grid[:, :-1]
-        d[:, :-1] |= grid[:, 1:]
-        d[:, :, 1:] |= grid[:, :, :-1]
-        d[:, :, :-1] |= grid[:, :, 1:]
-        grid = d
-    return grid
+    return _dilate6(grid, dilate)
 
 
 def tighten_rays(
@@ -137,9 +142,22 @@ def tighten_rays(
             + r[:, None, 3:6].astype(np.float32) * t[..., None]
         )
         tc = pts * inv + off
-        inside = ((tc >= 0.0) & (tc < 1.0)).all(-1)
+        # Half-voxel tolerance: probes that belong to the box but land a
+        # float-rounding hair past it (e.g. the ellipsoid-exit endpoint,
+        # inflated 1e-5 by clamp_rays_to_fg) read the edge voxel instead
+        # of poisoning the whole tail as "occupied unknown".
+        tol = 0.5 / res
+        inside = ((tc >= -tol) & (tc < 1.0 + tol)).all(-1)
         vox = np.clip((tc * res).astype(np.int64), 0, res - 1)
-        hit = inside & grid[vox[..., 0], vox[..., 1], vox[..., 2]]
+        # Outside the baked box the grid knows NOTHING — count it occupied.
+        # Scene density routinely extends past a viewer octree's
+        # auto-scaled bounds (measured: the 4x2 drone bake box clips the
+        # outer ground ring; treating outside as empty collapsed 15% of a
+        # val view's rays onto real content and cost 9 dB). A
+        # bake_occupancy grid covers the full fg-reachable AABB, so there
+        # this branch never fires. Tightening only removes in-box
+        # measured-empty spans.
+        hit = ~inside | grid[vox[..., 0], vox[..., 1], vox[..., 2]]
         any_hit = hit.any(1)
         first = hit.argmax(1)
         last = probes - 1 - hit[:, ::-1].argmax(1)
@@ -157,7 +175,16 @@ def load_occupancy(
     dilate: int = 1,
     max_res: int = 256,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(grid, invradius, offset) from a baked octree `.npz`.
+    """(grid, invradius, offset) from a baked occupancy or octree `.npz`.
+
+    Two formats:
+    - `scripts/bake_occupancy.py` output (preferred): a packed res^3 bool
+      grid over the FULL fg ellipsoid AABB — `thresh`/`dilate` semantics
+      applied at bake time / here respectively.
+    - a viewer octree (`scripts/create_octree.py`): leaves rasterize via
+      `occupancy_grid`. Beware its auto-scaled box: segments outside it
+      conservatively count occupied (tighten_rays), which can neutralize
+      the tightening — prefer the dedicated bake.
 
     `thresh=None` (auto) places the sigma cutoff where crossing one grid
     voxel adds 1% alpha: sigma = -ln(0.99) / voxel_world_size. Baked
@@ -166,6 +193,17 @@ def load_occupancy(
     bake's domain occupied (no interval ever tightens), the auto cutoff
     ~14% (the actual content shell)."""
     from mega_nerf_tpu.octree import N3Tree
+
+    z = np.load(path)
+    if "occupancy" in z.files:
+        res = int(z["res"])
+        grid = np.unpackbits(z["occupancy"])[: res**3].astype(bool)
+        grid = grid.reshape(res, res, res)
+        return (
+            _dilate6(grid, dilate),
+            z["invradius3"].astype(np.float32),
+            z["offset"].astype(np.float32),
+        )
 
     tree = N3Tree.load(path)
     if thresh is None or thresh < 0:

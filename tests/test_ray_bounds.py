@@ -86,6 +86,32 @@ def test_tighten_rays_brackets_occupied_slab():
     assert (b_up[:, 1] <= 0.2 * 1.01 + 1e-6).all(), b_up  # exit t=0.2
 
 
+def test_load_occupancy_packed_format_roundtrip(tmp_path):
+    """scripts/bake_occupancy.py's packed npz loads back bit-exact, with
+    dilation applied at load time."""
+    from mega_nerf_tpu.render.ray_bounds import load_occupancy
+
+    rng = np.random.default_rng(3)
+    res = 32
+    grid = rng.random((res, res, res)) < 0.05
+    inv = np.array([0.1, 0.2, 0.3], np.float32)
+    off = np.array([0.5, 0.4, 0.6], np.float32)
+    np.savez_compressed(
+        tmp_path / "occ.npz",
+        occupancy=np.packbits(grid.reshape(-1)),
+        res=np.int64(res),
+        invradius3=inv,
+        offset=off,
+        sigma_thresh=np.float32(0.35),
+    )
+    g0, i0, o0 = load_occupancy(tmp_path / "occ.npz", dilate=0)
+    np.testing.assert_array_equal(g0, grid)
+    np.testing.assert_array_equal(i0, inv)
+    np.testing.assert_array_equal(o0, off)
+    g1, _, _ = load_occupancy(tmp_path / "occ.npz", dilate=1)
+    assert g1.sum() > grid.sum() and (g1 | ~grid).all()
+
+
 def test_render_rays_fg_bounds_noop_and_tight():
     fg = _ball_bundle([0.8, 0.2, 0.4])
     settings = RenderSettings(coarse_samples=64, fine_samples=64,
