@@ -725,8 +725,30 @@ def render_rays(
         # last_delta") — the ray renders pure background, and its collapse
         # POSITION is provably immaterial (cell_cull boxes exploit this).
         near = jnp.maximum(near, fg_bounds[:, 0:1])
+        far0 = far
         far = jnp.maximum(jnp.minimum(far, fg_bounds[:, 1:2]), near)
-        last_delta = jnp.where(far > near, last_delta, 0.0)
+        # Where the far end actually shrank, the span past it is DECLARED
+        # empty, so the final sample's trailing segment must not span it:
+        # untightened, the huge trailing segment (to fg_far / INF_DELTA)
+        # multiplies a far-field sigma that is ~0; tightened, the final
+        # sample sits just past geometry where sigma is NOT tiny, and the
+        # same segment manufactures a phantom
+        # `T * (1 - exp(-sigma * fg_far))` contribution. last_delta here
+        # is an ABSOLUTE exit depth for values below INF_DELTA
+        # (_get_results subtracts z_max, rendering.py:510-512): cap it at
+        # one local sample spacing past the tightened far. Un-shrunk rays
+        # (e.g. pass-through bounds) keep the baseline last_delta exactly.
+        seg = (far - near) / settings.coarse_samples
+        shrunk = far < far0 - 1e-6 * jnp.abs(far0)
+        last_delta = jnp.where(
+            shrunk, jnp.minimum(last_delta, far + seg), last_delta
+        )
+        # Collapsed rays contribute EXACTLY zero fg regardless of where
+        # they collapsed — cell_cull excludes them from cull boxes on this
+        # guarantee, so it must hold even when the collapse point is the
+        # un-shrunk interval end (z_max == far there, so depth `far` maps
+        # to a zero trailing segment).
+        last_delta = jnp.where(far > near, last_delta, far)
 
     z_steps = jnp.linspace(0.0, 1.0, settings.coarse_samples)
     z_vals = near * (1.0 - z_steps) + far * z_steps
