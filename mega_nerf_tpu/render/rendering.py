@@ -738,8 +738,22 @@ def render_rays(
         # (_get_results subtracts z_max, rendering.py:510-512): cap it at
         # one local sample spacing past the tightened far. Un-shrunk rays
         # (e.g. pass-through bounds) keep the baseline last_delta exactly.
+        #
+        # ONLY sub-INF rays (has_bg: a background composites behind the
+        # fg) are capped. Rays whose baseline last_delta is INF_DELTA end
+        # INSIDE the scene: the reference's catch-all semantics make their
+        # final sample absorb ALL residual transmittance
+        # (alpha = 1 - exp(-INF * sigma) = 1 for any sigma > 0), and with
+        # no background behind them that residual has nowhere else to go.
+        # Capping them DROPS the residual mass instead of re-attributing
+        # it (measured: -4 dB broad darkening across live rays on the 4x2
+        # drone val views); keeping INF preserves the catch-all — the only
+        # change tightening makes for such rays is WHERE the catch-all
+        # sample sits, not whether it absorbs.
         seg = (far - near) / settings.coarse_samples
-        shrunk = far < far0 - 1e-6 * jnp.abs(far0)
+        shrunk = (far < far0 - 1e-6 * jnp.abs(far0)) & (
+            last_delta < INF_DELTA
+        )
         last_delta = jnp.where(
             shrunk, jnp.minimum(last_delta, far + seg), last_delta
         )
