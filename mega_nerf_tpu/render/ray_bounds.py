@@ -81,20 +81,39 @@ def occupancy_grid(
         sub = int(round(1.0 / float(s)))
         if sub <= res:
             # Leaf boxes are exact voxel blocks at their own resolution:
-            # rasterize there, then upsample by repetition.
+            # rasterize there, then map up to `res` by interval overlap.
+            # Each res-voxel [v/res, (v+1)/res) overlaps sub-voxels
+            # floor(v*sub/res) .. floor(((v+1)*sub-1)/res) — at most two
+            # when sub <= res — and OR-ing the two per axis separably is
+            # the exact 8-corner union (box occupancy factorizes per
+            # axis). When sub divides res the two indices coincide and
+            # this equals the repeat-upsample.
             g = np.zeros((sub, sub, sub), bool)
             idx = np.round(corner[sel] * sub).astype(np.int64)
             idx = np.clip(idx, 0, sub - 1)
             g[idx[:, 0], idx[:, 1], idx[:, 2]] = True
-            f = res // sub
-            if f > 1:
-                g = g.repeat(f, 0).repeat(f, 1).repeat(f, 2)
+            if sub < res:
+                a = np.arange(res)
+                f = (a * sub) // res
+                l = ((a + 1) * sub - 1) // res
+                g = g[f] | g[l]
+                g = g[:, f] | g[:, l]
+                g = g[:, :, f] | g[:, :, l]
             grid |= g
         else:
-            # Leaf finer than the capped grid: N-ary alignment nests it
-            # inside exactly one voxel.
-            idx = np.clip((corner[sel] * res).astype(np.int64), 0, res - 1)
-            grid[idx[:, 0], idx[:, 1], idx[:, 2]] = True
+            # Leaf finer than the capped grid: it overlaps at most two
+            # voxels per axis (leaf side < voxel side) — mark the voxels
+            # containing both extents (exact when the tree is N-ary
+            # aligned to res, conservative otherwise).
+            lo = np.clip((corner[sel] * res).astype(np.int64), 0, res - 1)
+            hi = np.clip(
+                ((corner[sel] + s) * res - 1e-6).astype(np.int64),
+                0, res - 1,
+            )
+            for cx in (lo[:, 0], hi[:, 0]):
+                for cy in (lo[:, 1], hi[:, 1]):
+                    for cz in (lo[:, 2], hi[:, 2]):
+                        grid[cx, cy, cz] = True
 
     return _dilate6(grid, dilate)
 
@@ -196,6 +215,15 @@ def load_occupancy(
 
     z = np.load(path)
     if "occupancy" in z.files:
+        if thresh is not None and thresh >= 0:
+            import warnings
+
+            warnings.warn(
+                "occupancy threshold was fixed when this packed grid was "
+                "baked (scripts/bake_occupancy.py); the requested thresh="
+                f"{thresh} is ignored — re-bake to change it",
+                stacklevel=2,
+            )
         res = int(z["res"])
         grid = np.unpackbits(z["occupancy"])[: res**3].astype(bool)
         grid = grid.reshape(res, res, res)

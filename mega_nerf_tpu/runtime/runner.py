@@ -1051,8 +1051,15 @@ class Runner:
                 ),)
             if cull:
                 if ray_masks is not None:
-                    # Union of the chunk's (support-sorted) per-ray sets.
+                    # Union of the chunk's (support-sorted) per-ray sets,
+                    # intersected with the image-level box mask: both are
+                    # conservative supersets of the true per-point need
+                    # (the support probes' (margin+1)*h slack can admit
+                    # cells the box test culled), so the intersection
+                    # stays exact AND provably never exceeds the
+                    # `submodules` count that sized the chunks above.
                     mask = ray_masks[start : start + chunk].any(0)
+                    mask = mask & image_mask
                     if not mask.any():
                         # Every ray collapsed: zero fg everywhere, any
                         # non-empty set is exact.

@@ -86,6 +86,35 @@ def test_tighten_rays_brackets_occupied_slab():
     assert (b_up[:, 1] <= 0.2 * 1.01 + 1e-6).all(), b_up  # exit t=0.2
 
 
+def test_occupancy_grid_non_divisible_resolutions():
+    """A branch-3 tree capped at a non-multiple resolution (leaf sub=3
+    into res=8, finer sub=9 > res=8) must rasterize by interval overlap —
+    the old repeat-upsample raised a broadcast ValueError here. Every
+    res-voxel overlapping an occupied leaf box is marked, none other."""
+    tree = N3Tree(N=3, data_dim=4, radius=1.0, center=(0.0, 0.0, 0.0))
+    pt = np.array([[0.5, 0.5, 0.5]], np.float32)  # tree coords (0.75,...)
+    tree.refine_at_points(pt)  # depth-1 leaves side 1/3; refined side 1/9
+    leaves = tree.leaf_indices()
+    corner, side = tree.leaf_bounds(leaves)
+    # Occupy one coarse (side 1/3) leaf and one fine (side 1/9) leaf.
+    coarse_i = int(np.flatnonzero(np.isclose(side, 1 / 3))[0])
+    fine_i = int(np.flatnonzero(np.isclose(side, 1 / 9))[0])
+    data = np.zeros((leaves.shape[0], 4), np.float32)
+    data[[coarse_i, fine_i], 3] = 5.0
+    tree.set_leaf_data(leaves, data)
+
+    grid = occupancy_grid(tree, thresh=0.0, dilate=0, max_res=8)
+    res = grid.shape[0]
+    assert res == 8
+    expect = np.zeros((res, res, res), bool)
+    for i, s in ((coarse_i, 1 / 3), (fine_i, 1 / 9)):
+        c = corner[i]
+        lo = np.floor(c * res).astype(int)
+        hi = np.minimum(np.ceil((c + s) * res - 1e-6).astype(int), res)
+        expect[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]] = True
+    np.testing.assert_array_equal(grid, expect)
+
+
 def test_load_occupancy_packed_format_roundtrip(tmp_path):
     """scripts/bake_occupancy.py's packed npz loads back bit-exact, with
     dilation applied at load time."""
@@ -141,6 +170,55 @@ def test_render_rays_fg_bounds_noop_and_tight():
     c_res, _ = render_rays(fg, None, None, None, rays, None, settings,
                            fg_bounds=collapsed)
     np.testing.assert_allclose(c_res["rgb_fine"], 0.0, rtol=0, atol=1e-6)
+
+
+def test_fg_bounds_no_bg_keeps_catchall_residual_mass():
+    """Regression for the `last_delta < INF_DELTA` gate in render_rays's
+    fg_bounds cap (render/rendering.py): rays with NO background model end
+    inside the scene with INF_DELTA catch-all semantics — their final
+    sample absorbs ALL residual transmittance. Shrinking the fg interval
+    must relocate that catch-all sample, never cap its trailing segment:
+    capping drops the residual mass with nowhere to re-attribute it
+    (measured -4 dB broad darkening on the 4x2 drone val views).
+
+    Discriminating setup: a semi-transparent uniform medium (optical depth
+    ~0.5 over the tightened interval, so ~61% of the mass rides the
+    catch-all), no bg, far shrunk 4.0 -> 1.5. With the gate, rgb equals
+    the unbounded render (= the medium color: total weight 1 under the
+    catch-all) to sampling tolerance; with the cap applied to these
+    INF-delta rays, rgb collapses to ~0.42x the color and this fails.
+    """
+    from test_rendering import _const_bundle
+
+    color = jnp.array([0.8, 0.3, 0.6])
+    fg = _const_bundle(color, density=0.5)
+    settings = RenderSettings(coarse_samples=64, fine_samples=64)
+    rays = _straight_rays_rb(4, near=0.5, far=4.0)
+
+    base, _ = render_rays(fg, None, None, None, rays, None, settings)
+    np.testing.assert_allclose(
+        np.asarray(base["rgb_fine"]),
+        np.broadcast_to(np.asarray(color), (4, 3)),
+        atol=2e-3,
+    )
+
+    shrunk = jnp.tile(jnp.array([[0.5, 1.5]]), (4, 1))
+    tight, _ = render_rays(fg, None, None, None, rays, None, settings,
+                           fg_bounds=shrunk)
+    np.testing.assert_allclose(
+        np.asarray(tight["rgb_fine"]),
+        np.asarray(base["rgb_fine"]),
+        atol=5e-3,
+        err_msg="residual transmittance lost when fg_bounds shrank a "
+                "no-bg (INF last_delta) ray's interval",
+    )
+
+
+def _straight_rays_rb(n, near=0.5, far=4.0):
+    o = jnp.tile(jnp.array([[0.0, 0.0, 2.0]]), (n, 1))
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (n, 1))
+    return jnp.concatenate(
+        [o, d, jnp.full((n, 1), near), jnp.full((n, 1), far)], axis=-1)
 
 
 @pytest.mark.parametrize("with_cull", [False, True])
