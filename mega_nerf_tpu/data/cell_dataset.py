@@ -111,7 +111,11 @@ class CellDataset:
             list(range(self.num_cells)) if owned_cells is None
             else sorted(owned_cells)
         )
-        assert self.owned_cells, "process owns no cells"
+        # An EMPTY owned set is legal in multi-process mode: with the cell
+        # axis padded to the mesh (CellRunner.padded_cells), a process may
+        # own only dummy padding cells — it builds no streams and
+        # next_batch returns the all-zero full-value placeholder (never
+        # addressable by its devices).
         private_store = owned_cells is not None
         self._streams: Dict[int, _CellStream] = {}
         for cell in self.owned_cells:
@@ -147,10 +151,26 @@ class CellDataset:
             c: self._streams[c].next_batch(batch_size)
             for c in self.owned_cells
         }
-        template = per_cell[self.owned_cells[0]]
+        if per_cell:
+            template = {
+                k: (v.shape, v.dtype)
+                for k, v in per_cell[self.owned_cells[0]].items()
+            }
+        else:
+            # Owns no real cell (only mesh padding): emit the batch
+            # contract's shapes/dtypes so the full-value placement is
+            # well-formed on this process too.
+            import jax
+
+            local = batch_size // jax.process_count()
+            template = {
+                "rgbs": ((local, 3), np.float32),
+                "rays": ((local, 8), np.float32),
+                "img_indices": ((local,), np.int32),
+            }
         out = {}
-        for k, v in template.items():
-            stacked = np.zeros((self.num_cells,) + v.shape, v.dtype)
+        for k, (shape, dtype) in template.items():
+            stacked = np.zeros((self.num_cells,) + shape, dtype)
             for c, b in per_cell.items():
                 stacked[c] = b[k]
             out[k] = stacked

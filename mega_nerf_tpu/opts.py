@@ -145,6 +145,15 @@ def get_opts_base() -> argparse.ArgumentParser:
     parser.add_argument('--occupancy_probes', type=int, default=128,
                         help='host-side probe points per ray when '
                              'tightening bounds against the occupancy grid')
+    parser.add_argument('--occupancy_mode', type=str, default='near',
+                        choices=['near', 'both'],
+                        help="'near' (default): tighten only the fg entry "
+                             "point — measured quality-neutral (skips the "
+                             "empty air above the scene, keeps the "
+                             "sub-threshold fog tail baseline sampling "
+                             "picks up). 'both': tighten both ends and "
+                             "collapse all-miss rays — maximum shrink, "
+                             "measured ~1 dB PSNR cost (PERF.md round 5)")
     parser.add_argument('--ref_bg_sampling', default=False, action='store_true',
                         help='replicate the reference bg fine-sampling quirk '
                              '(descending-order coarse weights paired with '

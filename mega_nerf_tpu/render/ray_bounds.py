@@ -128,6 +128,7 @@ def tighten_rays(
     sphere_center: Optional[np.ndarray] = None,
     sphere_radius: Optional[np.ndarray] = None,
     chunk: int = 65536,
+    mode: str = "near",
 ) -> np.ndarray:
     """(N, 2) float32 tightened [near, far] of each ray's fg interval.
 
@@ -136,14 +137,27 @@ def tighten_rays(
     occupancy grid; the output brackets the first..last occupied probe
     with `margin` extra probe steps each side (the occupied span between
     two probes `step` apart is bracketed to +-1 step by construction, so
-    margin >= 1 covers sub-step geometry the probes straddle). Rays whose
-    probes hit nothing collapse to a zero-width interval at the fg end —
-    all fg weights vanish and (for bg rays) the background alone renders.
+    margin >= 1 covers sub-step geometry the probes straddle).
+
+    `mode` (measured on the converged 4x2 drone model, PERF.md round 5):
+    - "near" (default): only the entry point tightens; the far end stays
+      at the full fg interval and rays whose probes all miss keep their
+      full interval. Skipping the empty air ABOVE the scene is measured
+      FREE (PSNR delta +0.01 dB vs baseline at paper sampling) — trained
+      models keep sub-threshold "fog" density past the last occupied
+      voxel whose cumulative alpha baseline sampling picks up, so far
+      tightening (-0.6 dB) and interval collapse (-0.5 dB) are NOT free
+      at ANY bake threshold (the loss saturates from ray_10pct down).
+    - "both": far end tightens too and all-miss rays collapse to a
+      zero-width interval at the fg end (all fg weights vanish; for bg
+      rays the background alone renders) — maximum interval shrink and
+      maximum cull-box tightening, at the measured ~1 dB cost.
 
     `tree_invradius`/`tree_offset`: the octree's world->tree transform
     (N3Tree.world_to_tree). Pure numpy, chunked to bound the (chunk,
     probes, 3) intermediate; ~8 ms per 64k rays at 128 probes.
     """
+    assert mode in ("near", "both"), mode
     rays = np.asarray(rays)
     out = np.empty((rays.shape[0], 2), np.float32)
     s = np.linspace(0.0, 1.0, probes, dtype=np.float32)
@@ -183,8 +197,13 @@ def tighten_rays(
         step = (fend - near) / (probes - 1)
         lo = near + np.maximum(first - margin, 0) * step
         hi = near + np.minimum(last + margin, probes - 1) * step
-        out[start : start + chunk, 0] = np.where(any_hit, lo, fend)
-        out[start : start + chunk, 1] = np.where(any_hit, hi, fend)
+        if mode == "near":
+            # Far end stays at the full interval; all-miss rays untouched.
+            out[start : start + chunk, 0] = np.where(any_hit, lo, near)
+            out[start : start + chunk, 1] = fend
+        else:
+            out[start : start + chunk, 0] = np.where(any_hit, lo, fend)
+            out[start : start + chunk, 1] = np.where(any_hit, hi, fend)
     return out
 
 

@@ -72,9 +72,17 @@ class CellRunner(Runner):
         self.mask_root = mask_root
 
         cell_axis = getattr(hparams, "cell_axis", 1) or 1
-        assert self.num_cells % cell_axis == 0, (
-            f"{self.num_cells} cells must divide over cell_axis={cell_axis}"
-        )
+        # The stacked cell axis is padded up to a multiple of the mesh
+        # 'cell' axis with DUMMY cells so any K (e.g. the reference's 5x5=25
+        # submodule grids, README.md:46) shards onto any power-of-two TPU
+        # slice — the reference's parscript queue likewise handles any K on
+        # any GPU count. Dummy cells train throwaway parameters on a
+        # synthetic finite ray stream; nothing crosses the cell axis, so
+        # real cells are bit-identical to the unpadded program (the same
+        # exactness argument as cell_cull.bucket_mask's padding), and dummy
+        # rows are excluded from metrics, checkpoints, merge, and the
+        # reported rays/s.
+        self.padded_cells = -(-self.num_cells // cell_axis) * cell_axis
 
         # Base init does scene setup / model build / mesh with NO mask (the
         # mask root is not a per-cell mask dir); per-cell masks are applied
@@ -138,7 +146,7 @@ class CellRunner(Runner):
         use_appearance = hp.appearance_dim > 0
 
         state = make_cell_train_state(
-            self.fg, self.bg, optimizer, self.init_key, self.num_cells
+            self.fg, self.bg, optimizer, self.init_key, self.padded_cells
         )
 
         train_iterations = 0
@@ -168,8 +176,13 @@ class CellRunner(Runner):
             # rows of the full-value (cells, batch) placement are never
             # addressable here, so building them would be pure waste — and
             # for filesystem stores it would be WRONG (per-host stores are
-            # process-private; see CellDataset.__init__).
-            owned_cells = self._owned_cells()
+            # process-private; see CellDataset.__init__). Dummy padding
+            # cells (index >= num_cells) have no stream at all — their
+            # rows are synthesized in _pad_batch; a process may own only
+            # dummies (CellDataset handles the empty-owned case).
+            owned_cells = [
+                c for c in self._owned_cells() if c < self.num_cells
+            ]
             main_print(
                 f"process {jax.process_index()} owns cells {owned_cells}"
             )
@@ -207,7 +220,7 @@ class CellRunner(Runner):
             start_iteration=train_iterations,
         )
         while train_iterations < hp.train_iterations:
-            batch = dataset.next_batch(hp.batch_size)
+            batch = self._pad_batch(dataset.next_batch(hp.batch_size))
             batch = shard_batch(self.mesh, batch, with_cell_axis=True)
             state, metrics = step_fn(state, batch)
             if self._serialize_dispatch:
@@ -235,7 +248,13 @@ class CellRunner(Runner):
                         )
                         self._replicate_metrics_fn = rep
                     metrics = rep(metrics)
-                metrics_host = {k: np.asarray(v) for k, v in metrics.items()}
+                # Dummy padding cells' metrics are dropped before logging
+                # and the finite check (their throwaway streams are not
+                # evidence of anything).
+                metrics_host = {
+                    k: np.asarray(v)[: self.num_cells]
+                    for k, v in metrics.items()
+                }
                 hooks.check_finite(metrics_host)
                 rays_per_sec = hooks.throughput(train_iterations)
                 if self.writer is not None and rays_per_sec is not None:
@@ -289,17 +308,44 @@ class CellRunner(Runner):
             jax.device_get(state) if jax.process_count() == 1 else None
         )
 
+    def _pad_batch(
+        self, batch: Dict[str, np.ndarray]
+    ) -> Dict[str, np.ndarray]:
+        """Append `padded_cells - num_cells` dummy rows to the stacked
+        (cells, per_cell, ...) batch.
+
+        Dummy rows are a synthetic, finite, process-independent ray stream
+        (origin 0, +z direction, [0.5, 1.0] interval, mid-gray targets):
+        the dummy cells' training stays NaN-free on every mesh layout
+        without any process owning a real stream for them. Real cells are
+        unaffected — nothing crosses the 'cell' axis."""
+        pad = self.padded_cells - self.num_cells
+        if pad == 0:
+            return batch
+        out = {}
+        for k, v in batch.items():
+            fill = np.zeros((pad,) + v.shape[1:], v.dtype)
+            if k == "rays":
+                fill[..., 5] = 1.0  # unit +z direction
+                fill[..., 6] = 0.5  # near
+                fill[..., 7] = 1.0  # far (inside the fg ellipsoid)
+            elif k == "rgbs":
+                fill[...] = 0.5
+            out[k] = np.concatenate([v, fill], axis=0)
+        return out
+
     # ---------------------------------------------------------- multi-process
 
     def _owned_cells(self) -> List[int]:
-        """Cells whose parameters/batch rows live on THIS process's devices.
+        """Cells (PADDED indexing — entries >= num_cells are dummies) whose
+        parameters/batch rows live on THIS process's devices.
 
         The stacked state and the (cells, batch) data are sharded over the
         mesh 'cell' axis; mesh cell-row r owns cells
-        [r*num_cells/cell_axis, (r+1)*...). A process owns every cell of
+        [r*padded_cells/cell_axis, (r+1)*...). A process owns every cell of
         every row containing one of its devices."""
         cell_axis = self.mesh.devices.shape[0]
-        cpb = self.num_cells // cell_axis
+        cpb = self.padded_cells // cell_axis
         pid = jax.process_index()
         mine = set()
         for r in range(cell_axis):
@@ -482,6 +528,11 @@ class CellRunner(Runner):
         _, np_rng = ckpt_io.rng_state_from_aux(aux0)
         if np_rng is not None:
             self.np_rng = np_rng
+        # Dummy padding cells resume as fresh template inits — they carry
+        # no state worth checkpointing (never saved, never merged).
+        per_cell.extend(
+            [template] * (self.padded_cells - self.num_cells)
+        )
         stacked = jax.tree.map(lambda *xs: np.stack(xs), *per_cell)
         return stacked, iteration, stream_states
 

@@ -910,6 +910,7 @@ class Runner:
                 rays, grid, occ_inv, occ_off,
                 probes=int(getattr(hp, "occupancy_probes", 128)),
                 sphere_center=sphere_c_np, sphere_radius=sphere_r_np,
+                mode=str(getattr(hp, "occupancy_mode", "near")),
             )
         if cull:
             # Cull boxes end at the fg ellipsoid exit, not the (possibly

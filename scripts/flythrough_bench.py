@@ -48,6 +48,14 @@ def main() -> None:
                          "with culling on vs off at depths[0] and reports "
                          "both, plus the max |rgb| frame difference (must be "
                          "float32-rounding-level: culling is exact)")
+    ap.add_argument("--occupancy_path", type=str, default=None,
+                    help="with --ab_cull: the ON variant also engages "
+                         "occupancy-tightened fg bounds (render/ray_bounds) "
+                         "from this baked grid/octree npz — the production "
+                         "serving stack (cull+occupancy) vs the plain "
+                         "renderer. The frame-difference check becomes "
+                         "informational (occupancy is lossy; quality deltas "
+                         "are occupancy_bench.py's job)")
     ap.add_argument("--near", type=float, default=0.5)
     ap.add_argument("--ray_altitude_range", type=float, nargs=2,
                     default=[-2.0, 2.0])
@@ -87,7 +95,10 @@ def main() -> None:
     )
 
     if args.ab_cull:
-        variants = [("cull_on", args.depths[0], []),
+        on_flags = []
+        if args.occupancy_path:
+            on_flags += ["--occupancy_path", args.occupancy_path]
+        variants = [("cull_on", args.depths[0], on_flags),
                     ("cull_off", args.depths[0], ["--no_cell_cull"])]
     else:
         variants = [(f"depth{d}", d, []) for d in args.depths]
@@ -132,6 +143,9 @@ def main() -> None:
             "first_frame_s": round(mtimes[0] - t0, 1) if n else None,
             "steady_s_per_frame": round(steady, 2),
             "steady_fps": round(1.0 / steady, 3) if steady == steady else None,
+            "steady_rays_per_s": (
+                round(w * h / steady) if steady == steady else None
+            ),
         }
         print(f"{name}:", json.dumps(results[name]), flush=True)
 
@@ -139,7 +153,9 @@ def main() -> None:
         # Culling is exact: the rendered frames must match to jpg rounding
         # (a few u8 steps of backend matmul-batching noise through the
         # codec at most). Enforce it — a silent mismatch would invalidate
-        # the A/B as evidence.
+        # the A/B as evidence. With occupancy bounds engaged the ON frames
+        # are legitimately (slightly) different — report the diff but
+        # don't gate on it (quality deltas are occupancy_bench.py's job).
         from PIL import Image
 
         diffs = []
@@ -150,10 +166,12 @@ def main() -> None:
             diffs.append(int(np.abs(a - b).max()))
         assert diffs, "ab_cull rendered no frames — nothing was compared"
         results["max_abs_rgb_diff_u8"] = max(diffs)
-        results["cull_exact"] = max(diffs) <= 3
-        assert results["cull_exact"], (
-            f"cull-on frames diverge from cull-off by {max(diffs)} u8 steps"
-        )
+        if not args.occupancy_path:
+            results["cull_exact"] = max(diffs) <= 3
+            assert results["cull_exact"], (
+                f"cull-on frames diverge from cull-off by {max(diffs)} "
+                "u8 steps"
+            )
 
     print(json.dumps({
         "metric": "flythrough_frames_per_sec",

@@ -52,13 +52,15 @@ def main() -> None:
     from mega_nerf_tpu.runtime.runner import Runner
 
     variants = [
-        ("baseline", 1, False),
-        ("occ_1x", 1, True),
-        ("occ_half", 2, True),
-        ("occ_quarter", 4, True),
+        ("baseline", 1, None),
+        ("occ_1x", 1, "near"),
+        ("occ_half", 2, "near"),
+        ("occ_quarter", 4, "near"),
+        ("occ_both_1x", 1, "both"),
+        ("occ_both_half", 2, "both"),
     ]
     results = {}
-    for name, div, occ in variants:
+    for name, div, occ_mode in variants:
         flags = [
             "--near", str(args.near),
             "--ray_altitude_range", *map(str, args.ray_altitude_range),
@@ -68,9 +70,10 @@ def main() -> None:
             "--fine_samples", str(args.fine_samples // div),
             "--compute_dtype", "bfloat16",
         ]
-        if occ:
+        if occ_mode:
             flags += ["--occupancy_path", args.octree,
-                      "--occupancy_dilate", str(args.occupancy_dilate)]
+                      "--occupancy_dilate", str(args.occupancy_dilate),
+                      "--occupancy_mode", occ_mode]
         hp = parse_opts(get_opts_base(), flags)
         hp.dataset_path = args.dataset_path
         if args.centroids_path:

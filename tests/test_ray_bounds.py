@@ -67,7 +67,7 @@ def test_tighten_rays_brackets_occupied_slab():
     c = np.zeros(3, np.float64)
     r = np.ones(3, np.float64)
     bounds = tighten_rays(rays, grid, inv, off, probes=128,
-                          sphere_center=c, sphere_radius=r)
+                          sphere_center=c, sphere_radius=r, mode="both")
     # Slab crossing: world z -0.2..0 <=> t in [0.8, 1.0]; ellipsoid exit
     # t = 1.8. One probe step of slack each side (margin=1).
     step = (1.8 - 0.05) / 127 * 1.05
@@ -76,14 +76,26 @@ def test_tighten_rays_brackets_occupied_slab():
     assert (bounds[:, 1] > 1.0 - step).all() and (
         bounds[:, 1] < 1.0 + 2 * step).all(), bounds[:, 1]
 
-    # Rays pointing UP never meet the slab: interval collapses at the
-    # (clamped) fg end, which stays at or below the ellipsoid exit.
+    # Default "near" mode: same entry tightening, far end pinned to the
+    # full fg interval (the measured quality-neutral mode).
+    b_near = tighten_rays(rays, grid, inv, off, probes=128,
+                          sphere_center=c, sphere_radius=r)
+    np.testing.assert_allclose(b_near[:, 0], bounds[:, 0], rtol=0, atol=0)
+    assert (b_near[:, 1] > 1.8 * 0.99).all(), b_near[:, 1]  # exit t=1.8
+
+    # Rays pointing UP never meet the slab. mode="both": interval
+    # collapses at the (clamped) fg end, which stays at or below the
+    # ellipsoid exit. mode="near": the full interval is kept.
     rays_up = rays.copy()
     rays_up[:, 5] = 1.0
     b_up = tighten_rays(rays_up, grid, inv, off, probes=128,
-                        sphere_center=c, sphere_radius=r)
+                        sphere_center=c, sphere_radius=r, mode="both")
     assert (b_up[:, 0] == b_up[:, 1]).all()
     assert (b_up[:, 1] <= 0.2 * 1.01 + 1e-6).all(), b_up  # exit t=0.2
+    b_up_near = tighten_rays(rays_up, grid, inv, off, probes=128,
+                             sphere_center=c, sphere_radius=r)
+    assert (b_up_near[:, 0] == 0.05).all()
+    assert (b_up_near[:, 1] >= 0.2 * 0.99).all()
 
 
 def test_occupancy_grid_non_divisible_resolutions():
