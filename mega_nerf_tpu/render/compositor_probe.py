@@ -217,6 +217,111 @@ def merge_eval_ok(**kwargs) -> bool:
     return eval_compositor_choice(**kwargs) != "union"
 
 
+TRAIN_DIR_PACK_ENV = "MNTPU_TRAIN_DIR_PACK"
+
+# Builds where the packed-dir TRAIN kernels are KNOWN to hang the Mosaic
+# compile (round-2 bisect: the identical kernels compile in seconds on the
+# Jan 2026 libtpu). Never probed — a timed-out remote compile can wedge
+# the compile service/worker for up to hours on this relay.
+TRAIN_DIR_PACK_BAD_BUILDS = ("cl/831091709",)
+_TRAIN_DIR_PACK_MEMO: dict = {}
+TRAIN_DIR_PACK_TIMEOUT_S = 420.0
+
+
+def train_dir_pack_choice(
+    *,
+    probe: Optional[Callable[[], bool]] = None,
+    cache_path: Optional[Path] = None,
+    version: Optional[str] = None,
+) -> bool:
+    """Whether the fused TRAIN kernels may use the packed-dir tile layout
+    on this backend's compiler.
+
+    The packed layout is the measured-faster eval layout (one encode pass
+    + one HBM stream feeds both matmul stages — PERF.md round 2), but its
+    TRAIN twins hang one deployed libtpu's Mosaic compile. Same policy as
+    the eval compositor: env override, known-bad builds skipped without
+    probing, anything else probed ONCE per compiler build by AOT-compiling
+    the differentiated fused train apply in a guarded subprocess."""
+    forced = os.environ.get(TRAIN_DIR_PACK_ENV, "").strip()
+    if forced in ("0", "1"):
+        return forced == "1"
+
+    if not _is_tpu_backend():
+        return False  # non-TPU train defaults keep the proven layout
+
+    key = version if version is not None else _platform_version()
+    if key in _TRAIN_DIR_PACK_MEMO:
+        return _TRAIN_DIR_PACK_MEMO[key]
+
+    verdict = False
+    if not any(bad in key for bad in TRAIN_DIR_PACK_BAD_BUILDS):
+        path = cache_path if cache_path is not None else _default_cache_path()
+        cache = _read_cache(path)
+        verdicts = cache.get(key, {})
+        if not isinstance(verdicts, dict):
+            verdicts = {"merge": bool(verdicts)}
+        if "train_dir_pack" not in verdicts:
+            print(
+                "mega_nerf_tpu: probing whether this compiler can lower "
+                "the packed-dir fused TRAIN kernels (once per compiler "
+                f"build; <= {TRAIN_DIR_PACK_TIMEOUT_S:.0f}s) ..."
+            )
+            runner = probe if probe is not None else (
+                lambda: _run_probe_subprocess(
+                    TRAIN_DIR_PACK_TIMEOUT_S, "train_dir_pack"
+                )
+            )
+            verdicts["train_dir_pack"] = bool(runner())
+            cache = _read_cache(path)
+            cache[key] = verdicts
+            _write_cache(path, cache)
+        verdict = verdicts["train_dir_pack"]
+
+    print(f"mega_nerf_tpu: train dir_pack = {verdict}")
+    _TRAIN_DIR_PACK_MEMO[key] = verdict
+    return verdict
+
+
+def _train_dir_pack_probe_main() -> None:
+    """Probe subprocess body: AOT-compile the differentiated fused train
+    apply with the packed-dir layout at the paper fine-pass shape."""
+    from argparse import Namespace
+
+    import jax
+    import jax.numpy as jnp
+
+    from mega_nerf_tpu.models.factory import make_nerf
+    from mega_nerf_tpu.render.pallas_train import fused_nerf_train_apply
+
+    hp = Namespace(
+        pos_xyz_dim=12, pos_dir_dim=4, layers=8, skip_layers=[4],
+        layer_dim=256, appearance_dim=48, affine_appearance=False,
+        use_cascade=False, sh_deg=None, shifted_softplus=True,
+    )
+    bundle = make_nerf(hp, appearance_count=8)
+    m = 1024 * 512  # the paper config's fine pass
+
+    params_sds = jax.eval_shape(bundle.init, jax.random.key(0))
+
+    def loss_fn(params, xyz, dirs, app, noise):
+        out = fused_nerf_train_apply(
+            bundle.config, params, xyz, dirs, app, noise, dir_pack=True
+        )
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    f32 = jax.numpy.float32
+    lowered = jax.jit(jax.grad(loss_fn, argnums=(0, 3))).lower(
+        params_sds,
+        jax.ShapeDtypeStruct((m, 3), f32),
+        jax.ShapeDtypeStruct((m, 3), f32),
+        jax.ShapeDtypeStruct((m, 48), f32),
+        jax.ShapeDtypeStruct((m,), f32),
+    )
+    lowered.compile()
+    print(_PROBE_SENTINEL)
+
+
 def _probe_main() -> None:
     """Entry point for the probe subprocess: compile the composed graph."""
     from argparse import Namespace
@@ -266,4 +371,7 @@ def _probe_main() -> None:
 
 
 if __name__ == "__main__":
-    _probe_main()
+    if len(sys.argv) > 1 and sys.argv[1] == "train_dir_pack":
+        _train_dir_pack_probe_main()
+    else:
+        _probe_main()

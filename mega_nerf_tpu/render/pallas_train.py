@@ -387,7 +387,7 @@ def fused_nerf_train_apply(
     sigma_noise: Optional[jnp.ndarray],  # (M,) or (M, 1), or None
     block: int = 1024,
     interpret: Optional[bool] = None,
-    dir_pack: bool = False,
+    dir_pack: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Differentiable fused forward -> (M, 4) [sigmoid rgb, activated sigma].
 
@@ -397,14 +397,22 @@ def fused_nerf_train_apply(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    # dir_pack defaults OFF here: the packed-dir TRAIN kernels hang this
-    # environment's TERMINAL-side Mosaic compiler (libtpu Nov 2025 build)
+    # dir_pack default: probed per compiler build. The packed-dir TRAIN
+    # kernels hang one deployed libtpu's Mosaic compiler (Nov 2025 build)
     # on v5e; the same kernels AOT-compile in seconds against the newer
     # local libtpu (Jan 2026) — a since-fixed compiler bug, bisected via
     # axon's chipless local_only registration. The eval kernel with the
-    # identical packed layout compiles and runs everywhere. Re-enable once
-    # the serving terminal's libtpu catches up; until then the packed
-    # train layout keeps a gradient-exact interpret-mode test.
+    # identical packed layout compiles and runs everywhere.
+    # `compositor_probe.train_dir_pack_choice` gates the known-bad build
+    # off without probing and probes anything newer once (cached), so the
+    # measured-faster packed layout turns on automatically the moment the
+    # serving compiler upgrades. `MNTPU_TRAIN_DIR_PACK=0|1` overrides.
+    if dir_pack is None:
+        from mega_nerf_tpu.render.compositor_probe import (
+            train_dir_pack_choice,
+        )
+
+        dir_pack = train_dir_pack_choice()
     packed = pack_params(cfg, params, cast=False, dir_pack=dir_pack)
     m = xyz.shape[0]
     block, m_pad = choose_block(m, block)

@@ -162,46 +162,74 @@ def tighten_rays(
     out = np.empty((rays.shape[0], 2), np.float32)
     s = np.linspace(0.0, 1.0, probes, dtype=np.float32)
     res = grid.shape[0]
+    gflat = np.ascontiguousarray(grid.reshape(-1))
     inv = np.asarray(tree_invradius, np.float32)
     off = np.asarray(tree_offset, np.float32)
+    # Half-voxel tolerance: probes that belong to the box but land a
+    # float-rounding hair past it (e.g. the ellipsoid-exit endpoint,
+    # inflated 1e-5 by clamp_rays_to_fg) read the edge voxel instead
+    # of poisoning the whole tail as "occupied unknown".
+    tol = 0.5 / res
+
+    def probe_block(o_tc, d_tc, t_blk):
+        """(k,) int probe-hit index within the block, -1 = no hit.
+
+        Outside the baked box the grid knows NOTHING — count it occupied.
+        Scene density routinely extends past a viewer octree's auto-scaled
+        bounds (measured: the 4x2 drone bake box clips the outer ground
+        ring; treating outside as empty collapsed 15% of a val view's rays
+        onto real content and cost 9 dB). A bake_occupancy grid covers the
+        full fg-reachable AABB, so there this branch never fires."""
+        tc = o_tc[:, None, :] + d_tc[:, None, :] * t_blk[..., None]
+        inside = ((tc >= -tol) & (tc < 1.0 + tol)).all(-1)
+        vox = np.clip((tc * res).astype(np.int64), 0, res - 1)
+        flat = (vox[..., 0] * res + vox[..., 1]) * res + vox[..., 2]
+        hit = ~inside | gflat[flat]
+        anyb = hit.any(1)
+        return np.where(anyb, hit.argmax(1), -1)
+
+    def scan(o_tc, d_tc, t_all, order):
+        """First probe-hit index along `order` (a permutation of probe
+        positions), scanned in cache-sized blocks with early exit: rows
+        resolve as soon as their hit block is reached — for aerial scenes
+        the entry sits in the first third of the interval, so most probe
+        work is skipped entirely (the monolithic (n, probes, 3) form also
+        blew the cache: 24 s -> ~2 s per 262k-ray frame, 1-core host)."""
+        k = o_tc.shape[0]
+        found = np.full(k, -1, np.int64)
+        live = np.arange(k)
+        blk = 16
+        for b0 in range(0, probes, blk):
+            sel = order[b0 : b0 + blk]
+            h = probe_block(o_tc[live], d_tc[live], t_all[live][:, sel])
+            got = h >= 0
+            found[live[got]] = sel[h[got]]
+            live = live[~got]
+            if live.size == 0:
+                break
+        return found
+
     for start in range(0, rays.shape[0], chunk):
         r = rays[start : start + chunk]
         fg = clamp_rays_to_fg(r, sphere_center, sphere_radius)
         near = fg[:, 6].astype(np.float32)
         fend = fg[:, 7].astype(np.float32)
         t = near[:, None] * (1.0 - s) + fend[:, None] * s  # (n, P)
-        pts = (
-            r[:, None, :3].astype(np.float32)
-            + r[:, None, 3:6].astype(np.float32) * t[..., None]
-        )
-        tc = pts * inv + off
-        # Half-voxel tolerance: probes that belong to the box but land a
-        # float-rounding hair past it (e.g. the ellipsoid-exit endpoint,
-        # inflated 1e-5 by clamp_rays_to_fg) read the edge voxel instead
-        # of poisoning the whole tail as "occupied unknown".
-        tol = 0.5 / res
-        inside = ((tc >= -tol) & (tc < 1.0 + tol)).all(-1)
-        vox = np.clip((tc * res).astype(np.int64), 0, res - 1)
-        # Outside the baked box the grid knows NOTHING — count it occupied.
-        # Scene density routinely extends past a viewer octree's
-        # auto-scaled bounds (measured: the 4x2 drone bake box clips the
-        # outer ground ring; treating outside as empty collapsed 15% of a
-        # val view's rays onto real content and cost 9 dB). A
-        # bake_occupancy grid covers the full fg-reachable AABB, so there
-        # this branch never fires. Tightening only removes in-box
-        # measured-empty spans.
-        hit = ~inside | grid[vox[..., 0], vox[..., 1], vox[..., 2]]
-        any_hit = hit.any(1)
-        first = hit.argmax(1)
-        last = probes - 1 - hit[:, ::-1].argmax(1)
+        o_tc = r[:, :3].astype(np.float32) * inv + off
+        d_tc = r[:, 3:6].astype(np.float32) * inv
+
+        fwd = np.arange(probes)
+        first = scan(o_tc, d_tc, t, fwd)
+        any_hit = first >= 0
         step = (fend - near) / (probes - 1)
         lo = near + np.maximum(first - margin, 0) * step
-        hi = near + np.minimum(last + margin, probes - 1) * step
         if mode == "near":
             # Far end stays at the full interval; all-miss rays untouched.
             out[start : start + chunk, 0] = np.where(any_hit, lo, near)
             out[start : start + chunk, 1] = fend
         else:
+            last = scan(o_tc, d_tc, t, fwd[::-1])
+            hi = near + np.minimum(last + margin, probes - 1) * step
             out[start : start + chunk, 0] = np.where(any_hit, lo, fend)
             out[start : start + chunk, 1] = np.where(any_hit, hi, fend)
     return out

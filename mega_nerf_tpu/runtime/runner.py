@@ -576,6 +576,15 @@ class Runner:
             f"Imported reference torch checkpoint {path} (weights"
             f"{opt_note}; torch RNG state does not transfer)"
         )
+        # Host-purify: the conversion helpers leave SOME leaves as jnp
+        # arrays committed to device 0 (e.g. the imported Adam count).
+        # Feeding a mixed committed/host state into the mesh-replicated
+        # donated train step deadlocks the XLA:CPU collective rendezvous
+        # (one device never reaches the gradient all-reduce — reproduced
+        # deterministically, fixed by this purification). Checkpoint
+        # import is a once-per-run host operation; placement is the
+        # caller's job (`replicate(self.mesh, ...)`).
+        state = jax.tree.map(np.asarray, state)
         return state, aux
 
     @staticmethod
@@ -903,15 +912,24 @@ class Runner:
         # Opt-in occupancy-tightened fg sampling bounds (--occupancy_path,
         # render/ray_bounds.py) — per-ray, computed host-side.
         fg_bounds = None
+        tighten = None
         occ = self._get_occupancy()
         if occ is not None:
             grid, occ_inv, occ_off = occ
-            fg_bounds = tighten_rays(
-                rays, grid, occ_inv, occ_off,
+            tighten = lambda rr: tighten_rays(  # noqa: E731
+                rr, grid, occ_inv, occ_off,
                 probes=int(getattr(hp, "occupancy_probes", 128)),
                 sphere_center=sphere_c_np, sphere_radius=sphere_r_np,
                 mode=str(getattr(hp, "occupancy_mode", "near")),
             )
+        if tighten is not None and cull:
+            # The culled path needs every ray's bounds BEFORE chunk sizing
+            # (they shrink the cull boxes). The un-culled path defers to
+            # per-chunk tightening inside the dispatch loop instead, where
+            # the host probe work overlaps the device rendering the
+            # previous chunks (24 s of serial numpy per 512^2 frame on a
+            # 1-core host before the overlap + blocked-scan rework).
+            fg_bounds = tighten(rays)
         if cull:
             # Cull boxes end at the fg ellipsoid exit, not the (possibly
             # ~1e5, bg-owned) ray far — the RENDERED rays keep raw far,
@@ -942,6 +960,32 @@ class Runner:
                 # ellipsoid, so every tile's box reaches every cell. Skip
                 # the culled path outright; occupancy bounds re-enable it.
                 cull = False
+        ray_masks = None
+        if cull and fg_bounds is not None:
+            # Expected-cost gate for the support-sorted culled path: it
+            # buys bucketed_support/K of the fg MLP work per chunk but
+            # pays real overhead (support sorting, per-chunk param
+            # slicing, smaller chunks, one renderer compile per bucket
+            # size). With near-mode occupancy bounds the far end of every
+            # interval still reaches the ellipsoid exit, so support sets
+            # typically stay at ~K and the path measured 1.29x SLOWER
+            # than the plain bounded render (512^2 drone flythrough,
+            # PERF.md round 5). Engage only when the mean bucketed
+            # support predicts a real win. Per-ray masks are intersected
+            # with the image-level box mask (both conservative supersets
+            # — exact, and keeps every chunk's bucket within the
+            # `submodules` HBM sizing below).
+            ray_masks = ray_support_masks(
+                cull_rays, fg_centroids_np, self.fg.boundary_margin,
+                self.fg.cluster_dim_start,
+            )
+            ray_masks &= image_mask[None, :]
+            sizes = np.maximum(ray_masks.sum(1), 1)
+            buckets = 2 ** np.ceil(np.log2(sizes))
+            k_total = max(int(self.fg.centroids.shape[0]), 1)
+            if float(buckets.mean()) / k_total > 0.7:
+                cull = False
+                ray_masks = None
         if cull:
             # Size chunks by the BUCKETED count — per-chunk compute runs on
             # the power-of-two-padded subset (cell_cull.bucket_mask), which
@@ -963,16 +1007,11 @@ class Runner:
         )
         chunk = ((chunk + n_local - 1) // n_local) * n_local
         order = None
-        ray_masks = None
-        if cull and fg_bounds is not None:
+        if ray_masks is not None:
             # Occupancy-tightened segments are short enough for per-RAY
             # support sets; grouping rays by support set beats any spatial
             # tiling (AABB chunk bounds stay at the full image-level set on
             # oblique views — see cell_cull.ray_support_masks).
-            ray_masks = ray_support_masks(
-                cull_rays, fg_centroids_np, self.fg.boundary_margin,
-                self.fg.cluster_dim_start,
-            )
             order = support_order(ray_masks)
             rays = rays[order]
             cull_rays = cull_rays[order]
@@ -1017,7 +1056,7 @@ class Runner:
             else None
         )
 
-        render_fn = self._get_eval_render_fn(bounded=fg_bounds is not None)
+        render_fn = self._get_eval_render_fn(bounded=tighten is not None)
         fg_params, bg_params = self._eval_params(state)
         # Explicit placement: in multi-process jax, numpy inputs may not be
         # implicitly converted against a non-trivial sharding. The eval mesh
@@ -1041,15 +1080,20 @@ class Runner:
 
         depth = max(1, int(getattr(hp, "render_dispatch_depth", 2)))
         pending: deque = deque()
-        bounded = fg_bounds is not None
+        bounded = tighten is not None
         for start in range(0, n_padded, chunk):
             chunk_rays = rays[start : start + chunk]
             rays_dev = jax.device_put(chunk_rays, self._eval_sharded)
             tail = ()
             if bounded:
-                tail = (jax.device_put(
-                    fg_bounds[start : start + chunk], self._eval_sharded
-                ),)
+                # Un-culled path: tighten per chunk HERE so the probe
+                # numpy overlaps the device rendering the chunks already
+                # in flight (`depth` deep).
+                fb = (
+                    fg_bounds[start : start + chunk]
+                    if fg_bounds is not None else tighten(chunk_rays)
+                )
+                tail = (jax.device_put(fb, self._eval_sharded),)
             if cull:
                 if ray_masks is not None:
                     # Union of the chunk's (support-sorted) per-ray sets,

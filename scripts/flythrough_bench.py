@@ -56,6 +56,24 @@ def main() -> None:
                          "renderer. The frame-difference check becomes "
                          "informational (occupancy is lossy; quality deltas "
                          "are occupancy_bench.py's job)")
+    ap.add_argument("--on_samples_div", type=int, default=1,
+                    help="with --ab_cull/--ab_occ + --occupancy_path: "
+                         "divide the ON variant's coarse/fine sample "
+                         "counts by this — the tightened intervals keep "
+                         "sampling density, so this is the production "
+                         "reduced-budget serving config (PSNR deltas "
+                         "measured by occupancy_bench.py)")
+    ap.add_argument("--ab_occ", action="store_true",
+                    help="A/B occupancy-bounded reduced-budget serving "
+                         "WITHOUT submodule culling on either side: "
+                         "occ_on = --occupancy_path (+--on_samples_div) "
+                         "+ --no_cell_cull vs occ_off = plain "
+                         "--no_cell_cull — isolates the sampling-budget "
+                         "win from the culling machinery")
+    ap.add_argument("--occupancy_mode", type=str, default=None,
+                    choices=["near", "both"],
+                    help="occupancy tightening mode for the ON variant "
+                         "(default: the renderer's default, 'near')")
     ap.add_argument("--near", type=float, default=0.5)
     ap.add_argument("--ray_altitude_range", type=float, nargs=2,
                     default=[-2.0, 2.0])
@@ -94,12 +112,25 @@ def main() -> None:
         "\n".join("0" for _ in range(args.frames)) + "\n"
     )
 
+    on_flags = []
+    if args.occupancy_path:
+        on_flags += ["--occupancy_path", args.occupancy_path]
+        if args.occupancy_mode:
+            on_flags += ["--occupancy_mode", args.occupancy_mode]
+        if args.on_samples_div > 1:
+            ma = args.model_args
+            for flag in ("--coarse_samples", "--fine_samples"):
+                i = ma.index(flag)
+                on_flags += [flag,
+                             str(int(ma[i + 1]) // args.on_samples_div)]
     if args.ab_cull:
-        on_flags = []
-        if args.occupancy_path:
-            on_flags += ["--occupancy_path", args.occupancy_path]
         variants = [("cull_on", args.depths[0], on_flags),
                     ("cull_off", args.depths[0], ["--no_cell_cull"])]
+    elif args.ab_occ:
+        variants = [
+            ("occ_on", args.depths[0], on_flags + ["--no_cell_cull"]),
+            ("occ_off", args.depths[0], ["--no_cell_cull"]),
+        ]
     else:
         variants = [(f"depth{d}", d, []) for d in args.depths]
 
@@ -149,7 +180,7 @@ def main() -> None:
         }
         print(f"{name}:", json.dumps(results[name]), flush=True)
 
-    if args.ab_cull:
+    if args.ab_cull or args.ab_occ:
         # Culling is exact: the rendered frames must match to jpg rounding
         # (a few u8 steps of backend matmul-batching noise through the
         # codec at most). Enforce it — a silent mismatch would invalidate
@@ -158,15 +189,18 @@ def main() -> None:
         # don't gate on it (quality deltas are occupancy_bench.py's job).
         from PIL import Image
 
+        tag = "cull" if args.ab_cull else "occ"
         diffs = []
-        for p_on in sorted((work / "frames_cull_on" / "rgbs").glob("*.jpg")):
-            p_off = work / "frames_cull_off" / "rgbs" / p_on.name
+        for p_on in sorted(
+            (work / f"frames_{tag}_on" / "rgbs").glob("*.jpg")
+        ):
+            p_off = work / f"frames_{tag}_off" / "rgbs" / p_on.name
             a = np.asarray(Image.open(p_on), np.int16)
             b = np.asarray(Image.open(p_off), np.int16)
             diffs.append(int(np.abs(a - b).max()))
-        assert diffs, "ab_cull rendered no frames — nothing was compared"
+        assert diffs, "A/B rendered no frames — nothing was compared"
         results["max_abs_rgb_diff_u8"] = max(diffs)
-        if not args.occupancy_path:
+        if args.ab_cull and not args.occupancy_path:
             results["cull_exact"] = max(diffs) <= 3
             assert results["cull_exact"], (
                 f"cull-on frames diverge from cull-off by {max(diffs)} "

@@ -69,11 +69,15 @@ def _render_images(hparams: Namespace) -> None:
     output = Path(hparams.output)
     rank = jax.process_index()
     world_size = jax.process_count()
-    if rank == 0:
-        for sub in ("rgbs", "depths", "cells"):
-            (output / sub).mkdir(parents=True, exist_ok=hparams.resume)
-        if hparams.save_depth_npz:
-            (output / "depths_npz").mkdir(parents=True, exist_ok=hparams.resume)
+    # Rank 0 keeps the fail-on-existing-output semantics (unless resuming);
+    # other ranks create-if-missing — there is no barrier between ranks
+    # here, so a fast rank must not depend on rank 0 winning the race.
+    for sub in ("rgbs", "depths", "cells") + (
+        ("depths_npz",) if hparams.save_depth_npz else ()
+    ):
+        (output / sub).mkdir(
+            parents=True, exist_ok=hparams.resume or rank != 0
+        )
 
     pose_scale_factor = load_coordinates(hparams.dataset_path)[
         "pose_scale_factor"

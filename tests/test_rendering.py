@@ -497,3 +497,58 @@ def test_distortion_loss_term():
 
     g = float(np.asarray(jax.grad(loss)(jnp.asarray(2.0))))
     assert np.isfinite(g) and g != 0.0
+
+
+def test_train_dir_pack_probe_policy(tmp_path, monkeypatch):
+    """train_dir_pack_choice: env override > non-TPU off > known-bad build
+    never probed > cached per-build probe verdict. The packed-dir TRAIN
+    layout hangs one deployed libtpu's Mosaic compile (PERF.md round 2);
+    this gate auto-enables it the moment the serving compiler upgrades."""
+    from mega_nerf_tpu.render import compositor_probe as CP
+
+    monkeypatch.setattr(CP, "_TRAIN_DIR_PACK_MEMO", {})
+    cache = tmp_path / "probe.json"
+
+    def boom():
+        raise AssertionError("probe must not run here")
+
+    # Non-TPU backends: off, never probed.
+    assert CP.train_dir_pack_choice(probe=boom, cache_path=cache) is False
+
+    monkeypatch.setattr(CP, "_is_tpu_backend", lambda: True)
+
+    # Env override wins outright.
+    monkeypatch.setenv(CP.TRAIN_DIR_PACK_ENV, "1")
+    assert CP.train_dir_pack_choice(probe=boom, cache_path=cache) is True
+    monkeypatch.setenv(CP.TRAIN_DIR_PACK_ENV, "0")
+    assert CP.train_dir_pack_choice(probe=boom, cache_path=cache) is False
+    monkeypatch.delenv(CP.TRAIN_DIR_PACK_ENV)
+
+    # The known-hanging build is gated without probing (a timed-out remote
+    # compile can wedge the relay's compile service for hours).
+    bad = f"axon tpu Built on Nov 12 2025 {CP.TRAIN_DIR_PACK_BAD_BUILDS[0]}"
+    assert CP.train_dir_pack_choice(
+        probe=boom, cache_path=cache, version=bad) is False
+
+    # Unknown build: probed once, verdict cached on disk.
+    calls = []
+
+    def probe_ok():
+        calls.append(1)
+        return True
+
+    v = "axon tpu cl/999999"
+    assert CP.train_dir_pack_choice(
+        probe=probe_ok, cache_path=cache, version=v) is True
+    assert calls == [1] and cache.exists()
+    monkeypatch.setattr(CP, "_TRAIN_DIR_PACK_MEMO", {})  # fresh process
+    assert CP.train_dir_pack_choice(
+        probe=boom, cache_path=cache, version=v) is True
+
+    # Coexists with eval-compositor verdicts for the same build key.
+    monkeypatch.setattr(CP, "_MEMO", {})
+    assert CP.eval_compositor_choice(
+        probe=lambda c: c == "merge", cache_path=cache, version=v) == "merge"
+    monkeypatch.setattr(CP, "_TRAIN_DIR_PACK_MEMO", {})
+    assert CP.train_dir_pack_choice(
+        probe=boom, cache_path=cache, version=v) is True

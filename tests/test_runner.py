@@ -340,3 +340,133 @@ def test_reference_torch_adam_moment_import(trained, tmp_path):
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
     for got, want in zip(jax.tree.leaves(adam[0].nu), jax.tree.leaves(nu_ref)):
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+
+def test_reference_checkpoint_training_continuation(tmp_path, monkeypatch):
+    """Workflow-level reference handoff (VERDICT r4 item 6): TRAIN from a
+    torch-written `{iter}.pt` carrying fg+bg weights AND both optimizers'
+    Adam moments, with the `--ref_bg_sampling` parity flag on — and assert
+    loss continuity: the continued run's losses stay in the same regime as
+    a control continued from the equivalent native checkpoint (no
+    cold-optimizer spike), and both land at the same val quality.
+    (Reference resume semantics: `runner.py:173-188`.)"""
+    import jax
+    import optax
+
+    import mega_nerf_tpu.runtime.runner as runner_mod
+    from mega_nerf_tpu.data.torch_io import save_pt
+    from mega_nerf_tpu.models.factory import nerf_config_from_hparams
+    from mega_nerf_tpu.models.torch_interop import torch_state_from_flax_params
+
+    ds = make_synthetic_dataset(tmp_path / "ds", n_train=5, n_val=1,
+                                hw=(20, 20))
+
+    def hparams(exp, iters, ckpt_path=None):
+        hp = tiny_train_hparams(
+            ds, tmp_path / exp, train_iterations=iters, ckpt_interval=iters,
+            ref_bg_sampling=True, ray_altitude_range=[-10.0, 10.0],
+            batch_size=64, coarse_samples=16, fine_samples=16,
+        )
+        hp.bg_nerf = True
+        # 2-device data mesh + small steps: three bg-enabled trainings on
+        # the full 8-virtual-device mesh oversubscribe 1-core CI hosts
+        # past XLA CPU's hard 40 s collective-rendezvous deadline (one
+        # starved device thread kills the process). Collective correctness
+        # at 8 devices is other tests' job; this one tests the torch
+        # handoff semantics.
+        hp.data_axis = 2
+        if ckpt_path is not None:
+            hp.ckpt_path = str(ckpt_path)
+        return hp
+
+    # Base run: 30 steps with the NeRF++ background and the parity flag.
+    base = Runner(hparams("base", 30))
+    base.train()
+    state30 = jax.device_get(base.final_state)
+    native_ckpt = tmp_path / "base" / "0" / "models" / "30.ckpt"
+    assert native_ckpt.exists()
+
+    # Export the step-30 state as a reference torch training checkpoint:
+    # DDP-prefixed fg+bg model_state_dicts + torch Adam moment dicts.
+    hp0 = hparams("unused", 30)
+    fg_cfg = nerf_config_from_hparams(hp0, 1, hp0.layer_dim, 3)
+    bg_cfg = nerf_config_from_hparams(hp0, 1, hp0.bg_layer_dim, 4)
+
+    def torch_opt(cfg, params, opt_state):
+        adam = [s for s in opt_state
+                if isinstance(s, optax.ScaleByAdamState)][0]
+        mu = torch_state_from_flax_params(cfg, adam.mu, hp0.use_cascade)
+        nu = torch_state_from_flax_params(cfg, adam.nu, hp0.use_cascade)
+        names = list(
+            torch_state_from_flax_params(cfg, params, hp0.use_cascade)
+        )
+        return {
+            "state": {
+                i: {
+                    "step": int(adam.count),
+                    "exp_avg": mu[n],
+                    "exp_avg_sq": nu[n],
+                }
+                for i, n in enumerate(names)
+            },
+            "param_groups": [
+                {"lr": hp0.lr, "params": list(range(len(names)))}
+            ],
+        }
+
+    fg_torch = torch_state_from_flax_params(
+        fg_cfg, state30.fg_params, hp0.use_cascade
+    )
+    bg_torch = torch_state_from_flax_params(
+        bg_cfg, state30.bg_params, hp0.use_cascade
+    )
+    ref_ckpt = tmp_path / "30.pt"
+    save_pt(
+        {
+            "model_state_dict": {
+                f"module.{k}": v for k, v in fg_torch.items()
+            },
+            "bg_model_state_dict": {
+                f"module.{k}": v for k, v in bg_torch.items()
+            },
+            "optimizers": {
+                "nerf": torch_opt(fg_cfg, state30.fg_params, state30.fg_opt),
+                "bg_nerf": torch_opt(
+                    bg_cfg, state30.bg_params, state30.bg_opt
+                ),
+            },
+            "iteration": 30,
+        },
+        ref_ckpt,
+    )
+
+    # Log every continued step so the continuity check sees the whole
+    # trajectory, not just the final snapshot.
+    monkeypatch.setattr(runner_mod, "METRICS_CHECK_INTERVAL", 1)
+
+    def continued_losses(exp, ckpt):
+        r = Runner(hparams(exp, 60, ckpt_path=ckpt))
+        r.train()
+        lines = [
+            json.loads(l)
+            for l in (tmp_path / exp / "0" / "tb" / "metrics.jsonl")
+            .read_text().splitlines()
+        ]
+        losses = [l["train/loss"] for l in lines if "train/loss" in l]
+        metrics = (tmp_path / exp / "0" / "metrics.txt").read_text()
+        psnr = float(
+            [l for l in metrics.splitlines() if "val/psnr" in l][0]
+            .split(":")[-1]
+        )
+        return losses, psnr
+
+    ctrl_losses, ctrl_psnr = continued_losses("ctrl", native_ckpt)
+    ref_losses, ref_psnr = continued_losses("refcont", ref_ckpt)
+    assert len(ctrl_losses) == 30 and len(ref_losses) == 30
+
+    # No spike: the imported-checkpoint run's early continued losses sit in
+    # the control's regime (batches/jitter differ — the torch RNG triple
+    # does not transfer — so compare windowed means, not steps).
+    assert np.mean(ref_losses[:10]) < 2.0 * np.mean(ctrl_losses[:10]) + 1e-4
+    # And both continuations land at the same quality.
+    assert abs(ref_psnr - ctrl_psnr) < 1.5, (ref_psnr, ctrl_psnr)
