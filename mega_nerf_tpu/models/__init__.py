@@ -11,7 +11,9 @@ from mega_nerf_tpu.models.cascade import Cascade
 from mega_nerf_tpu.models.mega import (
     cluster_weights,
     mega_apply,
+    mega_apply_ray_routed,
     mega_apply_routed,
+    ray_route_capacity,
 )
 from mega_nerf_tpu.models.factory import (
     ModelBundle,
@@ -27,7 +29,9 @@ __all__ = [
     "Cascade",
     "cluster_weights",
     "mega_apply",
+    "mega_apply_ray_routed",
     "mega_apply_routed",
+    "ray_route_capacity",
     "ModelBundle",
     "make_nerf",
     "make_bg_nerf",

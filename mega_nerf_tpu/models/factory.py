@@ -25,7 +25,9 @@ from mega_nerf_tpu.models.cascade import Cascade
 from mega_nerf_tpu.models.mega import (
     cluster_weights,
     mega_apply,
+    mega_apply_ray_routed,
     mega_apply_routed,
+    ray_route_capacity,
 )
 from mega_nerf_tpu.models.nerf import NeRF, NeRFConfig
 
@@ -72,10 +74,12 @@ class ModelBundle:
     pretrained_params: Optional[Any] = None  # set by container loading
     # Mixture evaluation strategy: "dense" = every submodule on every point
     # (mega_apply), "routed" = sorted-gather block routing
-    # (mega_apply_routed), "auto" = routed above 8 submodules — the
-    # crossover where the dense blend's K× FLOPs dominate the router's
-    # sort/scatter overhead (the reference ships 8- and 25-submodule
-    # models, `README.md:39-51`).
+    # (mega_apply_routed), "ray" = ray-granularity one-hot capacity
+    # dispatch (mega_apply_ray_routed — needs per-ray support masks from
+    # the caller; falls back to dense where none are supplied), "auto" =
+    # routed above 8 submodules — the crossover where the dense blend's
+    # K× FLOPs dominate the router's sort/scatter overhead (the reference
+    # ships 8- and 25-submodule models, `README.md:39-51`).
     routing: str = "auto"
     routing_max_experts: int = 4
 
@@ -186,6 +190,38 @@ class ModelBundle:
             image_indices,
             sigma_noise,
             sigma_only,
+        )
+
+    def apply_ray_routed(
+        self,
+        params,
+        typ: str,
+        xyz: jnp.ndarray,  # (R, S, D) ray-structured points
+        rays_d: Optional[jnp.ndarray],  # (R, 3) per-ray view dirs or None
+        image_indices: Optional[jnp.ndarray],  # (R,) or None
+        support: jnp.ndarray,  # (R, K) bool per-ray cell support
+        capacity: int,
+        sigma_only: bool = False,
+    ) -> jnp.ndarray:
+        """Ray-granularity routed mixture apply (mega_apply_ray_routed):
+        exact vs `apply` whenever `support` covers every nonzero-weight
+        cell along each ray (cell_cull.ray_support_masks is such a
+        conservative superset) and `capacity` >= the max per-cell ray
+        count. Eval-only (sigma noise unsupported); returns (R, S, O)."""
+        assert self.is_mega
+        return mega_apply_ray_routed(
+            lambda p, *a: self._single_apply(p, typ, *a),
+            params,
+            self.centroids,
+            self.boundary_margin,
+            self.cluster_dim_start,
+            xyz,
+            rays_d,
+            image_indices,
+            support,
+            capacity,
+            sigma_only,
+            xyz_real=self.xyz_real,
         )
 
 

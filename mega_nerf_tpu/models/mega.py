@@ -84,6 +84,138 @@ def mega_apply(
     return jnp.einsum("nk,knc->nc", weights.astype(outs.dtype), outs)
 
 
+def mega_apply_ray_routed(
+    apply_fn: Callable[..., jnp.ndarray],
+    stacked_params,
+    centroids: jnp.ndarray,
+    boundary_margin: float,
+    cluster_dim_start: int,
+    xyz: jnp.ndarray,
+    rays_d: Optional[jnp.ndarray],
+    image_indices: Optional[jnp.ndarray],
+    support: jnp.ndarray,
+    capacity: int,
+    sigma_only: bool = False,
+    xyz_real: bool = False,
+) -> jnp.ndarray:
+    """Ray-granularity routed mixture: each submodule evaluates ONLY the
+    rays whose support set contains it, in a static-capacity bucket.
+
+    The TPU-honest replacement for `mega_apply_routed`'s per-POINT
+    sorted-gather (measured ~50x below MLP throughput on v5e: per-point
+    argsort + row gathers + scatter-adds run on the scalar core —
+    PERF.md "routed vs dense"). Here every data movement is a one-hot
+    matmul (MXU) and the unit of routing is a whole RAY:
+
+      1. `support` (R, K) bool says which cells can have nonzero routing
+         weight anywhere on each ray (host: `cell_cull.ray_support_masks`
+         — a conservative superset; in-graph: any() over the true
+         per-point weights). `capacity` (static) must be >= the largest
+         per-cell ray count; the caller buckets it to a power of two so
+         distinct compiles stay O(log R).
+      2. One cumsum assigns each (ray, cell) pair a slot; a one-hot
+         dispatch tensor D (R, K, C) sends each supported ray's compact
+         payload [flattened sample positions | view dir | appearance id]
+         to its cells via a single HIGHEST-precision matmul — exact: 0/1
+         weights, one nonzero per output row, f32 multiplies.
+      3. Each expert k (vmap over the stacked param axis — no parameter
+         gather at all) recomputes `cluster_weights` on its own points and
+         keeps only ITS column: per-point blend weights never need to be
+         dispatched. Experts run the ordinary `apply_fn` on (C*S) points.
+      4. The transpose of D combines pre-weighted expert outputs back into
+         ray order — again one matmul; each output point sums exactly its
+         supported cells' `w_k * f_k`, i.e. the dense blend restricted to
+         the support set.
+
+    EXACTNESS CONTRACT: equals `mega_apply` wherever `support` covers
+    every cell with nonzero `cluster_weights` along the ray (conservative
+    supersets only add zero-weight terms) AND `capacity` >= max per-cell
+    load (overflowed rays would silently drop — callers with host-side
+    masks must size it; see `ray_route_capacity`).
+
+    Cost: sum(|support|) / (K * R) of the dense blend's MLP FLOPs (the
+    padding slots evaluate dead zeros that the combine drops), plus two
+    one-hot matmuls over the compact payload — O(K*C*R*(S*D+4)) MACs,
+    orders below the MLP at paper widths.
+
+    xyz: (R, S, D) model input whose [..., :3] are the routing
+    coordinates (mirrors `ModelBundle.apply`: `xyz_real=True` feeds
+    [..., 3:] to the model); rays_d: (R, 3) per-ray view directions or
+    None; image_indices: (R,) int32 or None. Returns (R, S, O) f32.
+    """
+    r, s, d = xyz.shape
+    k = centroids.shape[0]
+    c = int(capacity)
+    support = support.astype(bool)
+
+    pos = jnp.cumsum(support.astype(jnp.int32), axis=0) - 1  # (R, K)
+    slot = jnp.where(support, pos, c)  # dead -> out of range -> zero row
+    disp = jax.nn.one_hot(slot, c, dtype=jnp.float32)  # (R, K, C)
+
+    pay = [xyz.reshape(r, s * d).astype(jnp.float32)]
+    if rays_d is not None:
+        pay.append(rays_d.astype(jnp.float32))
+    if image_indices is not None:
+        pay.append(image_indices.astype(jnp.float32)[:, None])
+    payload = jnp.concatenate(pay, axis=-1) if len(pay) > 1 else pay[0]
+
+    hi = jax.lax.Precision.HIGHEST
+    sent = jnp.einsum("rkc,rp->kcp", disp, payload, precision=hi)
+
+    xk = sent[..., : s * d].reshape(k, c * s, d)
+    off = s * d
+    dk = None
+    if rays_d is not None:
+        dk = jnp.broadcast_to(
+            sent[..., off : off + 3][:, :, None, :], (k, c, s, 3)
+        ).reshape(k, c * s, 3)
+        off += 3
+    ik = None
+    if image_indices is not None:
+        ik = jnp.broadcast_to(
+            jnp.round(sent[..., off]).astype(jnp.int32)[:, :, None], (k, c, s)
+        ).reshape(k, c * s)
+
+    def expert_fn(p_k, kidx, xf, df, if_):
+        routing_pts = xf[..., :3]
+        model_in = xf[..., 3:] if xyz_real else xf
+        w = cluster_weights(
+            routing_pts, centroids, boundary_margin, cluster_dim_start
+        )  # (C*S, K)
+        wk = jnp.einsum(
+            "nk,k->n", w, jax.nn.one_hot(kidx, k, dtype=w.dtype),
+            precision=hi,
+        )
+        out = apply_fn(p_k, model_in, df, if_, None, sigma_only)  # (C*S, O)
+        return out.astype(jnp.float32) * wk[:, None].astype(jnp.float32)
+
+    outs = jax.vmap(expert_fn)(
+        stacked_params, jnp.arange(k), xk, dk, ik
+    )  # (K, C*S, O)
+    o_dim = outs.shape[-1]
+    combined = jnp.einsum(
+        "rkc,kcq->rq",
+        disp,
+        outs.reshape(k, c, s * o_dim),
+        precision=hi,
+    )
+    return combined.reshape(r, s, o_dim)
+
+
+def ray_route_capacity(support, bucket: bool = True) -> int:
+    """Static dispatch capacity for `mega_apply_ray_routed`: the max
+    per-cell ray count of `support` (host-side numpy (R, K) bool),
+    rounded up to a power of two so chunked render loops compile
+    O(log R) variants instead of one per distinct load."""
+    import numpy as np
+
+    counts = np.asarray(support, bool).sum(axis=0)
+    cap = max(int(counts.max()) if counts.size else 0, 1)
+    if bucket:
+        cap = 1 << (cap - 1).bit_length()
+    return cap
+
+
 def mega_apply_routed(
     apply_fn: Callable[..., jnp.ndarray],
     stacked_params,

@@ -246,12 +246,19 @@ def _model_eval(
     image_indices: Optional[jnp.ndarray],  # (N,)
     train: bool,
     key: Optional[jax.Array],
+    ray_routing: Optional[Tuple[jnp.ndarray, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Evaluate the MLP on all samples -> (rgbs (N,S,3), sigmas (N,S)).
 
     Mirrors the reference chunk loop body (`rendering.py:285-334`) without
     chunking; applies the SH head + sigmoid when sh_deg is set
     (`rendering.py:301-306`).
+
+    `ray_routing = (support (N, K) bool, capacity int)` routes whole rays
+    to their supported submodules via one-hot capacity dispatch
+    (models/mega.mega_apply_ray_routed) instead of the dense K-way blend —
+    eval-only, mega bundles only; exact under the support/capacity
+    contract documented there.
     """
     n, s, d = xyz.shape
     flat_xyz = xyz.reshape(n * s, d)
@@ -305,6 +312,19 @@ def _model_eval(
             ).astype(bundle.config.dtype)
         out = _pallas_eval(bundle, p_kernel, flat_xyz,
                            dirs if use_dirs else None, app_embed)
+    elif (
+        ray_routing is not None
+        and bundle.is_mega
+        and not train
+        and sigma_noise is None
+    ):
+        support, cap = ray_routing
+        out = bundle.apply_ray_routed(
+            params, typ, xyz,
+            rays_d[:, 0, :] if use_dirs else None,
+            image_indices if bundle.config.appearance_dim > 0 else None,
+            support, cap,
+        ).reshape(n * s, -1)
     else:
         apply_fn = lambda p, x, d, i, sn: bundle.apply(p, typ, x, d, i, sn)
         if settings.remat:
@@ -344,6 +364,7 @@ def _inference(
     depth_real: Optional[jnp.ndarray],
     train: bool,
     key: Optional[jax.Array],
+    ray_routing: Optional[Tuple[jnp.ndarray, int]] = None,
 ) -> None:
     """One sampling level: MLP eval + (optional coarse merge) + compositing.
 
@@ -361,7 +382,8 @@ def _inference(
             depth_real = jnp.flip(depth_real, axis=-1)
 
     rgbs, sigmas = _model_eval(
-        bundle, params, typ, settings, xyz, rays_d, image_indices, train, key
+        bundle, params, typ, settings, xyz, rays_d, image_indices, train, key,
+        ray_routing=ray_routing,
     )
 
     if merge_prev:
@@ -499,6 +521,7 @@ def _get_results(
     fine_samples: int,
     train: bool,
     key: Optional[jax.Array],
+    ray_routing: Optional[Tuple[jnp.ndarray, int]] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Coarse pass + hierarchical fine pass (reference `rendering.py:176-248`)."""
     results: Dict[str, jnp.ndarray] = {}
@@ -534,6 +557,7 @@ def _get_results(
         depth_real=depth_real,
         train=train,
         key=k_noise_c,
+        ray_routing=ray_routing,
     )
 
     if fine_samples == 0:
@@ -598,6 +622,7 @@ def _get_results(
         depth_real=depth_real_fine,
         train=train,
         key=k_noise_f,
+        ray_routing=ray_routing,
     )
 
     for k in ("zvals_coarse", "raw_rgb_coarse", "raw_sigma_coarse",
@@ -619,6 +644,8 @@ def render_rays(
     train: bool = False,
     key: Optional[jax.Array] = None,
     fg_bounds: Optional[jnp.ndarray] = None,  # (N, 2) tightened fg interval
+    fg_ray_support: Optional[jnp.ndarray] = None,  # (N, K) bool cell support
+    fg_ray_capacity: Optional[int] = None,  # static max per-cell ray count
 ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
     """Render a batch of rays -> (results dict, bg_rays_present scalar).
 
@@ -631,6 +658,16 @@ def render_rays(
     the ellipsoid clamp and never consulted by the `has_bg` background
     decision, which keys on the ray's raw far. With `fg_bounds=None` the
     graph is unchanged.
+
+    `fg_ray_support` + `fg_ray_capacity` (opt-in): per-ray submodule
+    support masks (host: cell_cull.ray_support_masks) routing the
+    FOREGROUND mega mixture at ray granularity via one-hot capacity
+    dispatch (models/mega.mega_apply_ray_routed) instead of the dense
+    K-way blend. Foreground only: with boundary_margin > 1 every
+    background point far from the scene activates ALL cells (distance
+    ratios tend to 1 with |p|), so an exact bg route degenerates to
+    dense — the bg keeps the dense blend. Eval-only (ignored when
+    `train=True`).
     """
     n_rays = rays.shape[0]
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
@@ -771,6 +808,15 @@ def render_rays(
     )
     xyz_coarse = rays_o3 + rays_d3 * z_vals[..., None]
 
+    fg_routing = None
+    if (
+        fg_ray_support is not None
+        and fg_ray_capacity is not None
+        and fg.is_mega
+        and not train
+    ):
+        fg_routing = (fg_ray_support, int(fg_ray_capacity))
+
     results = _get_results(
         fg,
         fg_params,
@@ -789,6 +835,7 @@ def render_rays(
         fine_samples=settings.fine_samples,
         train=train,
         key=k_fg,
+        ray_routing=fg_routing,
     )
 
     if bg is not None:

@@ -9,7 +9,13 @@ This script measures both on a real chip at the paper model scale so the
 auto crossover (ModelBundle.routing == "auto": routed above 8) is backed
 by numbers.
 
+Round 5 adds the "ray" mode: `mega_apply_ray_routed` — whole rays routed
+to their support cells (cell_cull.ray_support_masks) via one-hot capacity
+dispatch, all data movement on the MXU, no per-point argsort/gather. Each
+cell evaluates only sum(|support|)/K of the dense blend's points.
+
 Usage: python scripts/routing_bench.py [--rays 4096] [--iters 4]
+       [--modes dense,routed,ray]
 """
 
 from __future__ import annotations
@@ -42,9 +48,12 @@ def main() -> None:
     ap.add_argument("--rays", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--margin", type=float, default=1.15)
+    ap.add_argument("--modes", type=str, default="dense,routed,ray",
+                    help="comma list of dense|routed|ray variants to time")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny model/samples on CPU: wiring check")
     args = ap.parse_args()
+    modes = tuple(m.strip() for m in args.modes.split(",") if m.strip())
 
     import jax
     import jax.numpy as jnp
@@ -54,9 +63,12 @@ def main() -> None:
     from mega_nerf_tpu.opts import get_opts_base, parse_opts
     from mega_nerf_tpu.render import RenderSettings, render_rays
 
+    from mega_nerf_tpu.models import ray_route_capacity
+    from mega_nerf_tpu.render.cell_cull import ray_support_masks
+
     results = {}
     for k, grid in ((8, (4, 2)), (25, (5, 5))):
-        for routing in ("dense", "routed"):
+        for routing in modes:
             if k == 25 and routing == "dense" and args.iters > 2:
                 iters = 2  # 25x FLOPs — don't spend minutes proving slowness
             else:
@@ -91,7 +103,9 @@ def main() -> None:
                 "--near", "0.5",
                 "--ray_altitude_range", "-2.0", "2.0",
                 "--compute_dtype", "bfloat16",
-                "--mega_routing", routing,
+                # "ray" routes through render_rays' fg_ray_support path
+                # over an otherwise-dense bundle.
+                "--mega_routing", "dense" if routing == "ray" else routing,
             ])
             hp._mega_centroid_metadata = {
                 "centroids": grid_centroids(*grid),
@@ -101,25 +115,56 @@ def main() -> None:
             bundle.boundary_margin = args.margin
             params = bundle.init(jax.random.key(0))
 
-            n = n_rays
-            rng = np.random.default_rng(0)
-            d = rng.normal(size=(n, 3))
-            d /= np.linalg.norm(d, axis=-1, keepdims=True)
-            o = rng.normal(size=(n, 3)) * 0.5
-            rays = jnp.asarray(
-                np.concatenate(
+            s_fine = hp.coarse_samples + hp.fine_samples  # merged fine pass
+
+            def make_rays(n):
+                rng = np.random.default_rng(0)
+                d = rng.normal(size=(n, 3))
+                d /= np.linalg.norm(d, axis=-1, keepdims=True)
+                o = rng.normal(size=(n, 3)) * 0.5
+                rays_np = np.concatenate(
                     [o, d, np.full((n, 1), 0.5), np.full((n, 1), 3.0)], -1
-                ),
-                jnp.float32,
-            )
-            idx = jnp.asarray(rng.integers(0, 64, n), jnp.int32)
+                ).astype(np.float32)
+                idx_np = rng.integers(0, 64, n).astype(np.int32)
+                return rays_np, idx_np
+
+            support = cap = None
+            n = n_rays
+            rays_np, idx_np = make_rays(n)
+            if routing == "ray":
+                # Size the ray budget by the PEAK expert point count
+                # (K * capacity * merged fine samples), matching the HBM
+                # reasoning of the dense scaling above.
+                budget = 2048 * 16 if args.smoke else 8 << 20
+                while True:
+                    support = ray_support_masks(
+                        rays_np, np.asarray(bundle.centroids, np.float32),
+                        args.margin, bundle.cluster_dim_start,
+                    )
+                    # all-False rows (none here: raw rays, far > near) would
+                    # render zero fg — keep the premise visible in the log.
+                    cap = ray_route_capacity(support)
+                    if k * cap * s_fine <= budget or n <= 256:
+                        break
+                    n = n // 2
+                    rays_np, idx_np = make_rays(n)
+
+            rays = jnp.asarray(rays_np)
+            idx = jnp.asarray(idx_np)
             settings = RenderSettings(
                 coarse_samples=hp.coarse_samples, fine_samples=hp.fine_samples
             )
+            routing_kw = {}
+            if routing == "ray":
+                routing_kw = dict(
+                    fg_ray_support=jnp.asarray(support),
+                    fg_ray_capacity=int(cap),
+                )
 
             def step(rays_in):
                 r, _ = render_rays(
-                    bundle, None, params, None, rays_in, idx, settings
+                    bundle, None, params, None, rays_in, idx, settings,
+                    **routing_kw,
                 )
                 rgb = r["rgb_fine"]
                 return rays_in.at[:, 0:3].add(0.0 * rgb), rgb
@@ -141,21 +186,26 @@ def main() -> None:
                 "ms": round(per * 1e3, 1),
                 "compile_s": round(compile_s, 1),
             }
+            if routing == "ray":
+                results[tag]["capacity"] = int(cap)
+                results[tag]["mean_support"] = round(
+                    float(support.sum(1).mean()), 2
+                )
             print(tag, json.dumps(results[tag]), flush=True)
 
-    print(json.dumps({
-        "metric": "mega_routing_bench",
-        "results": results,
-        # rays/s ratios (comparable across the K-scaled dense ray budgets)
-        "routed_speedup_k8": round(
-            results["k8_routed"]["rays_per_sec"]
-            / results["k8_dense"]["rays_per_sec"], 3
-        ),
-        "routed_speedup_k25": round(
-            results["k25_routed"]["rays_per_sec"]
-            / results["k25_dense"]["rays_per_sec"], 3
-        ),
-    }))
+    summary = {"metric": "mega_routing_bench", "results": results}
+    for kk in (8, 25):
+        base = results.get(f"k{kk}_dense")
+        if not base:
+            continue
+        for alt in ("routed", "ray"):
+            r = results.get(f"k{kk}_{alt}")
+            if r:
+                # rays/s ratios (comparable across K-scaled ray budgets)
+                summary[f"{alt}_speedup_k{kk}"] = round(
+                    r["rays_per_sec"] / base["rays_per_sec"], 3
+                )
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

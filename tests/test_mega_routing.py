@@ -190,3 +190,167 @@ def test_bundle_apply_routed_matches_dense_real_nerf():
     np.testing.assert_allclose(
         np.asarray(routed), np.asarray(dense), atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# Ray-granularity one-hot capacity dispatch (mega_apply_ray_routed) — the
+# TPU-honest large-K plan: whole rays routed to their support cells via
+# one-hot matmuls, no per-point argsort/gather (measured ~50x below MLP
+# throughput on v5e — PERF.md "routed vs dense").
+# ---------------------------------------------------------------------------
+
+from mega_nerf_tpu.models import mega_apply_ray_routed, ray_route_capacity
+
+
+def _dense_ray_reference(params, centroids, margin, cds, xyz, dirs, idx,
+                         xyz_real=False):
+    """mega_apply over the flattened rays — the exactness oracle."""
+    r, s, d = xyz.shape
+    flat = xyz.reshape(r * s, d)
+    routing_pts = flat[:, :3]
+    model_in = flat[:, 3:] if xyz_real else flat
+    w = cluster_weights(routing_pts, centroids, margin, cds)
+    dirs_f = (
+        None if dirs is None
+        else jnp.broadcast_to(dirs[:, None, :], (r, s, 3)).reshape(r * s, 3)
+    )
+    idx_f = (
+        None if idx is None
+        else jnp.broadcast_to(idx[:, None], (r, s)).reshape(r * s)
+    )
+    return mega_apply(
+        toy_apply, params, w, model_in, dirs_f, idx_f
+    ).reshape(r, s, -1)
+
+
+def test_ray_route_capacity_pow2_bucketing():
+    support = np.zeros((10, 3), bool)
+    support[:7, 0] = True
+    support[:3, 1] = True
+    assert ray_route_capacity(support, bucket=False) == 7
+    assert ray_route_capacity(support) == 8
+    assert ray_route_capacity(np.zeros((4, 2), bool)) == 1
+
+
+@pytest.mark.parametrize("margin,cds", [(1.0, 0), (1.15, 1)])
+def test_ray_routed_matches_dense_k25(margin, cds):
+    k = 25
+    centroids = grid_centroids(5, 5)
+    params = toy_params(jax.random.key(20), k)
+    r, s = 53, 7
+    keys = jax.random.split(jax.random.key(21), 3)
+    xyz = jax.random.uniform(keys[0], (r, s, 3), minval=-1.0, maxval=9.0)
+    dirs = jax.random.normal(keys[1], (r, 3))
+    idx = jax.random.randint(keys[2], (r,), 0, 7)
+    # Exact support: any nonzero weight along the ray.
+    w = cluster_weights(xyz.reshape(-1, 3), centroids, margin, cds)
+    support = jnp.any((w > 0).reshape(r, s, k), axis=1)
+    cap = ray_route_capacity(np.asarray(support))
+    assert cap < r  # premise: routing actually concentrates work
+    routed = jax.jit(
+        lambda p, x, dd, ii, ss: mega_apply_ray_routed(
+            toy_apply, p, centroids, margin, cds, x, dd, ii, ss, cap
+        )
+    )(params, xyz, dirs, idx, support)
+    dense = _dense_ray_reference(
+        params, centroids, margin, cds, xyz, dirs, idx
+    )
+    np.testing.assert_allclose(
+        np.asarray(routed), np.asarray(dense), atol=1e-5
+    )
+
+
+def test_ray_routed_conservative_superset_and_full_support():
+    # Conservative SUPERSETS of the true support only add zero-weight
+    # terms; the degenerate all-true support with capacity R is the dense
+    # blend itself.
+    k = 9
+    centroids = grid_centroids(3, 3)
+    params = toy_params(jax.random.key(22), k)
+    r, s = 17, 5
+    xyz = jax.random.uniform(
+        jax.random.key(23), (r, s, 3), minval=-1.0, maxval=5.0
+    )
+    dense = _dense_ray_reference(
+        params, centroids, 1.15, 1, xyz, None, None
+    )
+    w = cluster_weights(xyz.reshape(-1, 3), centroids, 1.15, 1)
+    exact = np.asarray(jnp.any((w > 0).reshape(r, s, k), axis=1))
+    loose = exact.copy()
+    loose[:, 0] = True  # admit a cell the margin test excluded
+    for support in (loose, np.ones((r, k), bool)):
+        routed = mega_apply_ray_routed(
+            toy_apply, params, centroids, 1.15, 1,
+            xyz, None, None, jnp.asarray(support),
+            ray_route_capacity(support),
+        )
+        np.testing.assert_allclose(
+            np.asarray(routed), np.asarray(dense), atol=1e-5
+        )
+
+
+def test_ray_routed_xyz_real_routing_coords():
+    # Background-style input: [routing_xyz(3) | model_input(4)] — routing
+    # uses the REAL coords, the model sees only the tail.
+    k = 4
+    centroids = grid_centroids(2, 2)
+    params = toy_params(jax.random.key(24), k, d=4)
+    r, s = 11, 3
+    xyz = jax.random.uniform(
+        jax.random.key(25), (r, s, 7), minval=-0.5, maxval=2.5
+    )
+    w = cluster_weights(xyz.reshape(-1, 7)[:, :3], centroids, 1.15, 1)
+    support = jnp.any((w > 0).reshape(r, s, k), axis=1)
+    routed = mega_apply_ray_routed(
+        toy_apply, params, centroids, 1.15, 1, xyz, None, None,
+        support, ray_route_capacity(np.asarray(support)), xyz_real=True,
+    )
+    dense = _dense_ray_reference(
+        params, centroids, 1.15, 1, xyz, None, None, xyz_real=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(routed), np.asarray(dense), atol=1e-5
+    )
+
+
+def test_render_rays_fg_ray_support_matches_dense():
+    # Full render_rays equality: the fg mega mixture routed at ray
+    # granularity must reproduce the dense render bit-for-bit at eval
+    # (deterministic; same samples, same blend, restricted support).
+    import jax.numpy as jnp  # noqa: F811
+
+    from mega_nerf_tpu.render import RenderSettings, render_rays
+    from mega_nerf_tpu.render.cell_cull import ray_support_masks
+
+    hp = tiny_mega_hparams(3, "dense")
+    bundle = _make_bundle(hp, 1, 16, 3)
+    params = bundle.init(jax.random.key(0))
+    n = 24
+    rng = np.random.default_rng(3)
+    o = np.array([2.0, 2.0, -3.0]) + rng.normal(size=(n, 3)) * 0.1
+    d = np.array([0.0, 0.0, 1.0]) + rng.normal(size=(n, 3)) * 0.2
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate(
+        [o, d, np.full((n, 1), 0.5), np.full((n, 1), 8.0)], -1
+    ).astype(np.float32)
+    settings = RenderSettings(
+        coarse_samples=12, fine_samples=12, get_depth=True
+    )
+    base, _ = render_rays(
+        bundle, None, params, None, jnp.asarray(rays), None, settings
+    )
+    centroids = np.asarray(bundle.centroids, np.float32)
+    support = ray_support_masks(
+        rays, centroids, bundle.boundary_margin, bundle.cluster_dim_start
+    )
+    cap = ray_route_capacity(support)
+    routed, _ = render_rays(
+        bundle, None, params, None, jnp.asarray(rays), None, settings,
+        fg_ray_support=jnp.asarray(support), fg_ray_capacity=cap,
+    )
+    assert "rgb_fine" in base and "depth_fine" in base
+    for key in sorted(set(base) & set(routed)):
+        np.testing.assert_allclose(
+            np.asarray(routed[key]), np.asarray(base[key]),
+            atol=2e-5, err_msg=key,
+        )
