@@ -14,6 +14,7 @@ from mega_nerf_tpu.models.mega import (
     mega_apply_ray_routed,
     mega_apply_routed,
     ray_route_capacity,
+    ray_route_plan,
 )
 from mega_nerf_tpu.models.factory import (
     ModelBundle,
@@ -32,6 +33,7 @@ __all__ = [
     "mega_apply_ray_routed",
     "mega_apply_routed",
     "ray_route_capacity",
+    "ray_route_plan",
     "ModelBundle",
     "make_nerf",
     "make_bg_nerf",

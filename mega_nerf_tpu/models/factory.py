@@ -199,15 +199,18 @@ class ModelBundle:
         xyz: jnp.ndarray,  # (R, S, D) ray-structured points
         rays_d: Optional[jnp.ndarray],  # (R, 3) per-ray view dirs or None
         image_indices: Optional[jnp.ndarray],  # (R,) or None
-        support: jnp.ndarray,  # (R, K) bool per-ray cell support
+        support: jnp.ndarray,  # (R, Kv) bool per-ray (virtual-)cell support
         capacity: int,
         sigma_only: bool = False,
+        cell_ids: Optional[jnp.ndarray] = None,  # (Kv,) virtual->cell map
     ) -> jnp.ndarray:
         """Ray-granularity routed mixture apply (mega_apply_ray_routed):
         exact vs `apply` whenever `support` covers every nonzero-weight
         cell along each ray (cell_cull.ray_support_masks is such a
-        conservative superset) and `capacity` >= the max per-cell ray
-        count. Eval-only (sigma noise unsupported); returns (R, S, O)."""
+        conservative superset) and `capacity` >= the max per-column ray
+        count (models.ray_route_plan load-balances skewed supports into
+        `cell_ids` virtual experts). Eval-only (sigma noise unsupported);
+        returns (R, S, O)."""
         assert self.is_mega
         return mega_apply_ray_routed(
             lambda p, *a: self._single_apply(p, typ, *a),
@@ -222,6 +225,7 @@ class ModelBundle:
             capacity,
             sigma_only,
             xyz_real=self.xyz_real,
+            cell_ids=cell_ids,
         )
 
 

@@ -97,6 +97,7 @@ def mega_apply_ray_routed(
     capacity: int,
     sigma_only: bool = False,
     xyz_real: bool = False,
+    cell_ids: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Ray-granularity routed mixture: each submodule evaluates ONLY the
     rays whose support set contains it, in a static-capacity bucket.
@@ -142,15 +143,36 @@ def mega_apply_ray_routed(
     coordinates (mirrors `ModelBundle.apply`: `xyz_real=True` feeds
     [..., 3:] to the model); rays_d: (R, 3) per-ray view directions or
     None; image_indices: (R,) int32 or None. Returns (R, S, O) f32.
+
+    VIRTUAL EXPERTS (`cell_ids`): a single shared capacity pads every
+    cell to the MAX per-cell load — with skewed supports (a camera's
+    central cells are supported by every ray) the padding eats all the
+    savings (measured: K=25 ray-routing 0.57x dense before this).
+    `ray_route_plan` splits hot cells into load-balanced replicas: it
+    expands `support` to (R, Kv) virtual-expert columns, each holding at
+    most `capacity` rays of ONE cell, and returns `cell_ids` (Kv,) int32
+    mapping each virtual expert to the cell whose parameters and weight
+    column it uses. Replicas of a cell partition its rays, so summing
+    their combined outputs is exactly the single-expert sum; empty cells
+    get no replica at all (free culling). With `cell_ids=None` the
+    experts are the cells themselves (support must be (R, K)).
     """
     r, s, d = xyz.shape
     k = centroids.shape[0]
     c = int(capacity)
     support = support.astype(bool)
+    if cell_ids is None:
+        assert support.shape[1] == k
+        cell_ids = jnp.arange(k)
+    else:
+        cell_ids = jnp.asarray(cell_ids, jnp.int32)
+        assert support.shape[1] == cell_ids.shape[0]
+        stacked_params = jax.tree.map(lambda x: x[cell_ids], stacked_params)
+    kv = support.shape[1]
 
-    pos = jnp.cumsum(support.astype(jnp.int32), axis=0) - 1  # (R, K)
+    pos = jnp.cumsum(support.astype(jnp.int32), axis=0) - 1  # (R, Kv)
     slot = jnp.where(support, pos, c)  # dead -> out of range -> zero row
-    disp = jax.nn.one_hot(slot, c, dtype=jnp.float32)  # (R, K, C)
+    disp = jax.nn.one_hot(slot, c, dtype=jnp.float32)  # (R, Kv, C)
 
     pay = [xyz.reshape(r, s * d).astype(jnp.float32)]
     if rays_d is not None:
@@ -162,41 +184,41 @@ def mega_apply_ray_routed(
     hi = jax.lax.Precision.HIGHEST
     sent = jnp.einsum("rkc,rp->kcp", disp, payload, precision=hi)
 
-    xk = sent[..., : s * d].reshape(k, c * s, d)
+    xk = sent[..., : s * d].reshape(kv, c * s, d)
     off = s * d
     dk = None
     if rays_d is not None:
         dk = jnp.broadcast_to(
-            sent[..., off : off + 3][:, :, None, :], (k, c, s, 3)
-        ).reshape(k, c * s, 3)
+            sent[..., off : off + 3][:, :, None, :], (kv, c, s, 3)
+        ).reshape(kv, c * s, 3)
         off += 3
     ik = None
     if image_indices is not None:
         ik = jnp.broadcast_to(
-            jnp.round(sent[..., off]).astype(jnp.int32)[:, :, None], (k, c, s)
-        ).reshape(k, c * s)
+            jnp.round(sent[..., off]).astype(jnp.int32)[:, :, None], (kv, c, s)
+        ).reshape(kv, c * s)
 
-    def expert_fn(p_k, kidx, xf, df, if_):
+    def expert_fn(p_k, cid, xf, df, if_):
         routing_pts = xf[..., :3]
         model_in = xf[..., 3:] if xyz_real else xf
         w = cluster_weights(
             routing_pts, centroids, boundary_margin, cluster_dim_start
         )  # (C*S, K)
         wk = jnp.einsum(
-            "nk,k->n", w, jax.nn.one_hot(kidx, k, dtype=w.dtype),
+            "nk,k->n", w, jax.nn.one_hot(cid, k, dtype=w.dtype),
             precision=hi,
         )
         out = apply_fn(p_k, model_in, df, if_, None, sigma_only)  # (C*S, O)
         return out.astype(jnp.float32) * wk[:, None].astype(jnp.float32)
 
     outs = jax.vmap(expert_fn)(
-        stacked_params, jnp.arange(k), xk, dk, ik
-    )  # (K, C*S, O)
+        stacked_params, cell_ids, xk, dk, ik
+    )  # (Kv, C*S, O)
     o_dim = outs.shape[-1]
     combined = jnp.einsum(
         "rkc,kcq->rq",
         disp,
-        outs.reshape(k, c, s * o_dim),
+        outs.reshape(kv, c, s * o_dim),
         precision=hi,
     )
     return combined.reshape(r, s, o_dim)
@@ -214,6 +236,79 @@ def ray_route_capacity(support, bucket: bool = True) -> int:
     if bucket:
         cap = 1 << (cap - 1).bit_length()
     return cap
+
+
+def ray_route_plan(support, bucket: bool = True, expert_cost: float = 4.0):
+    """Load-balanced virtual-expert plan for `mega_apply_ray_routed`.
+
+    support: host-side numpy (R, K) bool. Returns
+    `(support_v (R, Kv) bool, cell_ids (Kv,) int32, capacity int)`:
+    each cell with load L is split into ceil(L / capacity) replicas
+    holding consecutive blocks of its supporting rays, so every
+    virtual-expert column carries at most `capacity` rays REGARDLESS of
+    load skew (a single shared capacity pads every cell to the max load
+    — ruinous when a camera's central cells are supported by every
+    ray). Cells with zero load get no replica (free culling).
+
+    `capacity` is chosen over power-of-two candidates to minimize
+    `padded_slots(C) + expert_cost * Kv(C)` — padded slots cost MLP
+    activation traffic, but each virtual expert also costs a replicated
+    parameter-table row (the gather materializes (Kv, ...) weights in
+    HBM and every batched GEMM streams them) plus dispatch/weight
+    bookkeeping; `expert_cost` is that overhead expressed in slots.
+    Pure slot minimization degenerates to capacity 1 = one expert per
+    (ray, cell) pair, i.e. thousands of replicated weight tables. Ties
+    keep the larger capacity. With `bucket`, Kv is also padded to a
+    power of two with zero-support dummy replicas of cell 0 (zero
+    dispatch rows -> their output is never combined), so chunked render
+    loops compile O(log R * log K) variants instead of one per distinct
+    plan.
+    """
+    import numpy as np
+
+    support = np.asarray(support, bool)
+    r, k = support.shape
+    loads = support.sum(axis=0)
+    max_load = int(loads.max()) if loads.size else 0
+    if max_load == 0:
+        # Degenerate: nothing routes anywhere. One dead expert keeps
+        # shapes non-empty; its zero dispatch rows combine to zero.
+        sup_v = np.zeros((r, 1), bool)
+        return sup_v, np.zeros(1, np.int32), 1
+
+    cap_hi = 1 << (max_load - 1).bit_length()
+    best_c, best_cost = cap_hi, None
+    c = cap_hi
+    while c >= 1:
+        replicas = -(-loads // c)
+        cost = float((replicas * c).sum()) + expert_cost * float(
+            replicas.sum()
+        )
+        # strict improvement only: ties keep the LARGER capacity
+        if best_cost is None or cost < best_cost:
+            best_c, best_cost = c, cost
+        c //= 2
+    cap = int(best_c)
+
+    cols, ids = [], []
+    for j in range(k):
+        rows = np.flatnonzero(support[:, j])
+        for start in range(0, len(rows), cap):
+            col = np.zeros(r, bool)
+            col[rows[start : start + cap]] = True
+            cols.append(col)
+            ids.append(j)
+    kv = len(cols)
+    if bucket:
+        kv_pad = 1 << (kv - 1).bit_length()
+        for _ in range(kv_pad - kv):
+            cols.append(np.zeros(r, bool))
+            ids.append(0)
+    return (
+        np.stack(cols, axis=1),
+        np.asarray(ids, np.int32),
+        cap,
+    )
 
 
 def mega_apply_routed(

@@ -318,12 +318,13 @@ def _model_eval(
         and not train
         and sigma_noise is None
     ):
-        support, cap = ray_routing
+        support, cap = ray_routing[0], ray_routing[1]
+        cells = ray_routing[2] if len(ray_routing) > 2 else None
         out = bundle.apply_ray_routed(
             params, typ, xyz,
             rays_d[:, 0, :] if use_dirs else None,
             image_indices if bundle.config.appearance_dim > 0 else None,
-            support, cap,
+            support, cap, cell_ids=cells,
         ).reshape(n * s, -1)
     else:
         apply_fn = lambda p, x, d, i, sn: bundle.apply(p, typ, x, d, i, sn)
@@ -644,8 +645,9 @@ def render_rays(
     train: bool = False,
     key: Optional[jax.Array] = None,
     fg_bounds: Optional[jnp.ndarray] = None,  # (N, 2) tightened fg interval
-    fg_ray_support: Optional[jnp.ndarray] = None,  # (N, K) bool cell support
-    fg_ray_capacity: Optional[int] = None,  # static max per-cell ray count
+    fg_ray_support: Optional[jnp.ndarray] = None,  # (N, Kv) bool support
+    fg_ray_capacity: Optional[int] = None,  # static max per-column ray count
+    fg_ray_cells: Optional[jnp.ndarray] = None,  # (Kv,) virtual->cell map
 ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
     """Render a batch of rays -> (results dict, bg_rays_present scalar).
 
@@ -660,14 +662,15 @@ def render_rays(
     graph is unchanged.
 
     `fg_ray_support` + `fg_ray_capacity` (opt-in): per-ray submodule
-    support masks (host: cell_cull.ray_support_masks) routing the
-    FOREGROUND mega mixture at ray granularity via one-hot capacity
-    dispatch (models/mega.mega_apply_ray_routed) instead of the dense
-    K-way blend. Foreground only: with boundary_margin > 1 every
-    background point far from the scene activates ALL cells (distance
-    ratios tend to 1 with |p|), so an exact bg route degenerates to
-    dense — the bg keeps the dense blend. Eval-only (ignored when
-    `train=True`).
+    support masks (host: cell_cull.ray_support_masks, load-balanced into
+    virtual experts by models.ray_route_plan whose `cell_ids` ride in
+    `fg_ray_cells`) routing the FOREGROUND mega mixture at ray
+    granularity via one-hot capacity dispatch
+    (models/mega.mega_apply_ray_routed) instead of the dense K-way
+    blend. Foreground only: with boundary_margin > 1 every background
+    point far from the scene activates ALL cells (distance ratios tend
+    to 1 with |p|), so an exact bg route degenerates to dense — the bg
+    keeps the dense blend. Eval-only (ignored when `train=True`).
     """
     n_rays = rays.shape[0]
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
@@ -815,7 +818,7 @@ def render_rays(
         and fg.is_mega
         and not train
     ):
-        fg_routing = (fg_ray_support, int(fg_ray_capacity))
+        fg_routing = (fg_ray_support, int(fg_ray_capacity), fg_ray_cells)
 
     results = _get_results(
         fg,

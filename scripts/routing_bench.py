@@ -63,7 +63,7 @@ def main() -> None:
     from mega_nerf_tpu.opts import get_opts_base, parse_opts
     from mega_nerf_tpu.render import RenderSettings, render_rays
 
-    from mega_nerf_tpu.models import ray_route_capacity
+    from mega_nerf_tpu.models import ray_route_plan
     from mega_nerf_tpu.render.cell_cull import ray_support_masks
 
     results = {}
@@ -128,23 +128,23 @@ def main() -> None:
                 idx_np = rng.integers(0, 64, n).astype(np.int32)
                 return rays_np, idx_np
 
-            support = cap = None
+            support = cells = cap = None
             n = n_rays
             rays_np, idx_np = make_rays(n)
             if routing == "ray":
                 # Size the ray budget by the PEAK expert point count
-                # (K * capacity * merged fine samples), matching the HBM
-                # reasoning of the dense scaling above.
+                # (Kv * capacity * merged fine samples), matching the HBM
+                # reasoning of the dense scaling above. ray_route_plan
+                # load-balances skewed supports into virtual experts, so
+                # the padded slot total ~ the true support total.
                 budget = 2048 * 16 if args.smoke else 8 << 20
                 while True:
-                    support = ray_support_masks(
+                    masks = ray_support_masks(
                         rays_np, np.asarray(bundle.centroids, np.float32),
                         args.margin, bundle.cluster_dim_start,
                     )
-                    # all-False rows (none here: raw rays, far > near) would
-                    # render zero fg — keep the premise visible in the log.
-                    cap = ray_route_capacity(support)
-                    if k * cap * s_fine <= budget or n <= 256:
+                    support, cells, cap = ray_route_plan(masks)
+                    if len(cells) * cap * s_fine <= budget or n <= 256:
                         break
                     n = n // 2
                     rays_np, idx_np = make_rays(n)
@@ -159,6 +159,7 @@ def main() -> None:
                 routing_kw = dict(
                     fg_ray_support=jnp.asarray(support),
                     fg_ray_capacity=int(cap),
+                    fg_ray_cells=jnp.asarray(cells),
                 )
 
             def step(rays_in):
@@ -188,8 +189,10 @@ def main() -> None:
             }
             if routing == "ray":
                 results[tag]["capacity"] = int(cap)
+                results[tag]["virtual_experts"] = int(len(cells))
+                results[tag]["padded_slots"] = int(len(cells) * cap)
                 results[tag]["mean_support"] = round(
-                    float(support.sum(1).mean()), 2
+                    float(masks.sum(1).mean()), 2
                 )
             print(tag, json.dumps(results[tag]), flush=True)
 

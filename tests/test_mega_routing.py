@@ -354,3 +354,116 @@ def test_render_rays_fg_ray_support_matches_dense():
             np.asarray(routed[key]), np.asarray(base[key]),
             atol=2e-5, err_msg=key,
         )
+
+
+# ---------------------------------------------------------------------------
+# Load-balanced virtual experts (ray_route_plan): a single shared capacity
+# pads every cell to the MAX load — with a camera's skewed supports (central
+# cells supported by every ray) that measured 0.57x dense at K=25. The plan
+# splits hot cells into replicas so padded slots track the true load.
+# ---------------------------------------------------------------------------
+
+from mega_nerf_tpu.models import ray_route_plan
+
+
+def test_ray_route_plan_properties():
+    rng = np.random.default_rng(0)
+    support = rng.random((100, 6)) < np.array(
+        [1.0, 0.6, 0.2, 0.05, 0.0, 0.5]
+    )
+    sup_v, cells, cap = ray_route_plan(support)
+    assert (sup_v.sum(0) <= cap).all()  # per-column load bound
+    assert len(cells) == sup_v.shape[1]
+    assert (len(cells) & (len(cells) - 1)) == 0  # pow2 expert bucket
+    # replicas of each cell partition exactly its original support rows
+    for j in range(support.shape[1]):
+        rep = sup_v[:, cells == j]
+        np.testing.assert_array_equal(rep.any(1), support[:, j])
+        assert (rep.sum(1) <= 1).all()  # disjoint
+    # padded slots stay near the true load, far below max_load * K
+    true_load = support.sum()
+    assert len(cells) * cap <= 2 * true_load + support.shape[1] * cap
+    # empty cells get no replica
+    assert not (cells == 4).any()
+
+
+def test_ray_route_plan_degenerate_all_false():
+    sup_v, cells, cap = ray_route_plan(np.zeros((8, 3), bool))
+    assert sup_v.shape == (8, 1) and not sup_v.any() and cap == 1
+    out = mega_apply_ray_routed(
+        toy_apply, toy_params(jax.random.key(30), 3),
+        grid_centroids(3, 1), 1.15, 1,
+        jnp.zeros((8, 2, 3)), None, None,
+        jnp.asarray(sup_v), cap, cell_ids=jnp.asarray(cells),
+    )
+    assert np.allclose(np.asarray(out), 0.0)
+
+
+def test_ray_routed_virtual_experts_match_dense_under_skew():
+    # Camera-like skew: every ray supports cell 0; the rest vary. The
+    # plan must split cell 0 into replicas and still equal the dense
+    # blend exactly.
+    k = 9
+    centroids = grid_centroids(3, 3)
+    params = toy_params(jax.random.key(31), k)
+    r, s = 41, 6
+    keys = jax.random.split(jax.random.key(32), 3)
+    xyz = jax.random.uniform(keys[0], (r, s, 3), minval=-1.0, maxval=5.0)
+    dirs = jax.random.normal(keys[1], (r, 3))
+    idx = jax.random.randint(keys[2], (r,), 0, 7)
+    w = cluster_weights(xyz.reshape(-1, 3), centroids, 1.15, 1)
+    exact = np.asarray(jnp.any((w > 0).reshape(r, s, k), axis=1))
+    skewed = exact.copy()
+    skewed[:, 0] = True  # conservative superset: hot cell 0
+    sup_v, cells, cap = ray_route_plan(skewed)
+    assert (cells == 0).sum() > 1  # premise: cell 0 actually split
+    routed = jax.jit(
+        lambda p, x, dd, ii, ss, cc: mega_apply_ray_routed(
+            toy_apply, p, centroids, 1.15, 1, x, dd, ii, ss, cap,
+            cell_ids=cc,
+        )
+    )(params, xyz, dirs, idx, jnp.asarray(sup_v), jnp.asarray(cells))
+    dense = _dense_ray_reference(
+        params, centroids, 1.15, 1, xyz, dirs, idx
+    )
+    np.testing.assert_allclose(
+        np.asarray(routed), np.asarray(dense), atol=1e-5
+    )
+
+
+def test_render_rays_ray_route_plan_matches_dense():
+    from mega_nerf_tpu.render import RenderSettings, render_rays
+    from mega_nerf_tpu.render.cell_cull import ray_support_masks
+
+    hp = tiny_mega_hparams(3, "dense")
+    bundle = _make_bundle(hp, 1, 16, 3)
+    params = bundle.init(jax.random.key(0))
+    n = 24
+    rng = np.random.default_rng(5)
+    o = rng.normal(size=(n, 3)) * 0.3  # all rays near the grid corner:
+    d = rng.normal(size=(n, 3))        # maximal support skew
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate(
+        [o, d, np.full((n, 1), 0.5), np.full((n, 1), 8.0)], -1
+    ).astype(np.float32)
+    settings = RenderSettings(
+        coarse_samples=12, fine_samples=12, get_depth=True
+    )
+    base, _ = render_rays(
+        bundle, None, params, None, jnp.asarray(rays), None, settings
+    )
+    masks = ray_support_masks(
+        rays, np.asarray(bundle.centroids, np.float32),
+        bundle.boundary_margin, bundle.cluster_dim_start,
+    )
+    sup_v, cells, cap = ray_route_plan(masks)
+    routed, _ = render_rays(
+        bundle, None, params, None, jnp.asarray(rays), None, settings,
+        fg_ray_support=jnp.asarray(sup_v), fg_ray_capacity=cap,
+        fg_ray_cells=jnp.asarray(cells),
+    )
+    for key in sorted(set(base) & set(routed)):
+        np.testing.assert_allclose(
+            np.asarray(routed[key]), np.asarray(base[key]),
+            atol=2e-5, err_msg=key,
+        )
