@@ -96,6 +96,7 @@ class CellDataset:
         scale_factor: int = 1,
         disk_flush_size: int = 10_000_000,
         owned_cells: Optional[Sequence[int]] = None,
+        min_chunk_rays: int = 0,
     ):
         """owned_cells: multi-process mode — build streams ONLY for these
         cells (the cells whose mesh 'cell' blocks this process's devices
@@ -105,7 +106,15 @@ class CellDataset:
         device. Filesystem stores become process-PRIVATE per-host per-cell
         chunk stores (each host writes/reads only its own cells' stores —
         chunk_paths is per-host scratch). None (default) = single-process /
-        deterministic-all-cells mode: every cell's stream is built here."""
+        deterministic-all-cells mode: every cell's stream is built here.
+
+        min_chunk_rays: clamp each cell's filesystem chunk count so chunks
+        hold at least this many rays. Cluster-masked cell streams are
+        wildly uneven (a 5x5 grid's border cells see a few hundred rays
+        where central cells see hundreds of thousands); a GLOBAL
+        --num_chunks sized for the big cells shatters the small ones into
+        sub-batch chunks, which FilesystemDataset.batches rejects loudly.
+        Callers pass ~4x the per-cell batch (CellRunner does)."""
         self.num_cells = len(cell_items)
         self.owned_cells: List[int] = (
             list(range(self.num_cells)) if owned_cells is None
@@ -132,15 +141,34 @@ class CellDataset:
                 from mega_nerf_tpu.data.filesystem_dataset import FilesystemDataset
 
                 assert chunk_paths, "filesystem cell dataset needs chunk_paths"
+                cell_chunks = num_chunks
+                if min_chunk_rays > 0:
+                    cell_chunks = max(
+                        1,
+                        min(num_chunks,
+                            self._count_rays(items) // min_chunk_rays),
+                    )
                 ds = FilesystemDataset(
                     items, near, far, ray_altitude_range, center_pixels,
                     [Path(p) / f"cell{cell}" for p in chunk_paths],
-                    num_chunks, scale_factor, disk_flush_size, rng=ds_rng,
+                    cell_chunks, scale_factor, disk_flush_size, rng=ds_rng,
                     process_scope="private" if private_store else "global",
                 )
             else:
                 raise Exception(f"Unrecognized dataset type: {dataset_type}")
             self._streams[cell] = _CellStream(ds, seed, cell)
+
+    @staticmethod
+    def _count_rays(items: List[ImageMetadata]) -> int:
+        """Upper-ish bound on a cell's training rays: masked pixel count
+        (val-image left-half subsetting trims some further — callers use a
+        safety factor on top). One extra pass of zipped-mask IO, host-only,
+        before the chunk store is sized."""
+        total = 0
+        for it in items:
+            m = it.load_mask()
+            total += int(m.sum()) if m is not None else it.W * it.H
+        return total
 
     def next_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
         """One (num_cells, batch_size, ...) batch; cells advance independently.

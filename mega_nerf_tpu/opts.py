@@ -124,6 +124,18 @@ def get_opts_base() -> argparse.ArgumentParser:
                              'sample box — identical images, fewer MLP '
                              'passes). Escape hatch; outputs are exact '
                              'either way')
+    parser.add_argument('--bake_cell_cull', type=str, default='auto',
+                        choices=['auto', 'on', 'off'],
+                        help='submodule culling for the octree bake\'s point '
+                             'probes (scripts/create_octree.py). Separate '
+                             'from --no_cell_cull because the bake measured '
+                             'the OPPOSITE way from serving: warm-cache '
+                             'cull-on baked 1.39x SLOWER at K=8 (83.4 s vs '
+                             '60.0 s, PERF.md round 5 — per-bucket compiles '
+                             '+ param slicing outweigh the probe MLP '
+                             'savings). auto = on only above 8 submodules, '
+                             'where the K x FLOPs argument has real '
+                             'headroom')
     parser.add_argument('--occupancy_path', type=str, default=None,
                         help='baked octree .npz (scripts/create_octree.py) '
                              'to tighten each eval ray\'s fg sampling '

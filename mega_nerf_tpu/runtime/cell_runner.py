@@ -200,6 +200,10 @@ class CellRunner(Runner):
             scale_factor=hp.train_scale_factor,
             disk_flush_size=hp.disk_flush_size,
             owned_cells=owned_cells,
+            # Border cells of a fine grid see orders of magnitude fewer
+            # masked rays than central ones; clamp their chunk counts so
+            # every chunk still holds a few batches (see CellDataset).
+            min_chunk_rays=4 * hp.batch_size,
         )
         if stream_states is not None and hp.resume_ckpt_state:
             dataset.set_state(stream_states, hp.batch_size)

@@ -78,6 +78,11 @@ def main() -> None:
                     help="resume from the latest per-cell checkpoint set in "
                          "the workdir (the worker can wedge mid-run; see "
                          "--ckpt_interval)")
+    ap.add_argument("--batch_size", type=int, default=1024,
+                    help="per-cell rays/step. The vmapped one-chip mode "
+                         "materializes num_cells x batch x samples "
+                         "activations: 8 cells fit at the paper 1024, a "
+                         "5x5=25-cell grid needs ~512 on a 16 GB v5e")
     args = ap.parse_args()
     model_args = [
         "--coarse_samples", "256", "--fine_samples", "512",
@@ -88,6 +93,9 @@ def main() -> None:
     ]
     if args.smoke:
         args.hw = 24
+        # A 24x24 scene split 25 ways leaves border cells with a few
+        # hundred masked rays — the paper batch would (loudly) starve them.
+        args.batch_size = min(args.batch_size, 64)
         model_args = [
             "--coarse_samples", "32", "--fine_samples", "64",
             "--pos_xyz_dim", "6", "--pos_dir_dim", "2",
@@ -169,7 +177,7 @@ def main() -> None:
         "--ray_altitude_range", "-2.0", "2.0",
     ] + model_args + [
         "--distortion_loss_weight", str(args.distortion_loss_weight),
-        "--batch_size", "1024",
+        "--batch_size", str(args.batch_size),
         "--lr", "5e-4", "--lr_decay_factor", "0.1",
         "--train_iterations", str(args.steps),
         "--ckpt_interval", str(args.ckpt_interval or args.steps),

@@ -76,12 +76,21 @@ def _make_point_culler(hparams, bundle, params):
     unchanged outputs. Returns `inputs(points_np) -> (params_subset,
     centroids_subset)` or None when culling doesn't apply. Build it ONCE
     and share between the sigma and RGBA probes: the cache holds a device
-    copy of the gathered param rows per distinct active set."""
+    copy of the gathered param rows per distinct active set.
+
+    Gated by --bake_cell_cull, NOT the serving --no_cell_cull flag: the
+    warm-cache bake A/B measured cull-on 1.39x SLOWER at K=8 (83.4 s vs
+    60.0 s on the 4x2 drone bake, trees identical — PERF.md round 5).
+    'auto' engages only above 8 submodules."""
+    mode = str(getattr(hparams, "bake_cell_cull", "auto"))
+    k = int(bundle.centroids.shape[0]) if bundle.is_mega else 1
+    if mode == "off" or (mode == "auto" and k <= 8):
+        return None
     if not (
         getattr(hparams, "cell_cull", True)
         and bundle.is_mega
         and not bundle.use_routed
-        and int(bundle.centroids.shape[0]) > 1
+        and k > 1
     ):
         return None
     centroids = np.asarray(bundle.centroids, np.float32)

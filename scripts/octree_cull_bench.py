@@ -58,7 +58,10 @@ def main() -> None:
     fx0, fy0, cx0, cy0 = [float(v) for v in np.asarray(meta0["intrinsics"])]
 
     results = {}
-    for name, extra in [("cull_on", []), ("cull_off", ["--no_cell_cull"])]:
+    for name, extra in [
+        ("cull_on", ["--bake_cell_cull", "on"]),
+        ("cull_off", ["--bake_cell_cull", "off"]),
+    ]:
         ohp = parse_opts(get_opts_base(), [
             "--near", "0.5", "--ray_altitude_range", "-2.0", "2.0",
         ] + args.model_args.split() + extra + [

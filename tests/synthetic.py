@@ -98,10 +98,6 @@ def make_synthetic_dataset(
     near, far = 0.5, 3.5
 
     root.mkdir(parents=True, exist_ok=True)
-    save_pt(
-        {"origin_drb": np.zeros(3, np.float64), "pose_scale_factor": 1.0},
-        root / "coordinates.pt",
-    )
 
     n_total = n_train + n_val
     for i in range(n_total):
@@ -129,6 +125,12 @@ def make_synthetic_dataset(
         Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
             root / split / "rgbs" / f"{stem}.png"
         )
+    # coordinates.pt is written LAST: callers treat it as the
+    # built-dataset marker, so a killed mid-build run must not leave it.
+    save_pt(
+        {"origin_drb": np.zeros(3, np.float64), "pose_scale_factor": 1.0},
+        root / "coordinates.pt",
+    )
     return root
 
 
@@ -244,10 +246,6 @@ def make_drone_dataset(
     rng = np.random.default_rng(seed)
 
     root.mkdir(parents=True, exist_ok=True)
-    save_pt(
-        {"origin_drb": np.zeros(3, np.float64), "pose_scale_factor": 1.0},
-        root / "coordinates.pt",
-    )
 
     n_total = n_train + n_val
     # near-square lattice over the footprint, jittered; val cameras land
@@ -292,6 +290,12 @@ def make_drone_dataset(
         Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
             root / split / "rgbs" / f"{stem}.png"
         )
+    # coordinates.pt is written LAST: callers treat it as the
+    # built-dataset marker, so a killed mid-build run must not leave it.
+    save_pt(
+        {"origin_drb": np.zeros(3, np.float64), "pose_scale_factor": 1.0},
+        root / "coordinates.pt",
+    )
     return root
 
 

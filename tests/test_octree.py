@@ -245,3 +245,28 @@ def test_create_octree_from_bg_training_checkpoint(tmp_path):
     bake_hp.camera_params = [16, 16, 14, 14, 8, 8]
     co.main(bake_hp)
     assert (tmp_path / "tree.npz").exists()
+
+
+def test_bake_cell_cull_gate():
+    # The bake's probe culler is gated by --bake_cell_cull, not the
+    # serving cull flag: the warm bake A/B measured cull-on 1.39x SLOWER
+    # at K=8 (PERF.md round 5), so 'auto' engages only above 8 cells.
+    from argparse import Namespace
+
+    import scripts.create_octree as co
+    from tests.test_mega_routing import tiny_mega_hparams
+    from mega_nerf_tpu.models.factory import _make_bundle
+
+    def bundle_of(k_side):
+        b = _make_bundle(tiny_mega_hparams(k_side, "dense"), 1, 16, 3)
+        return b, b.init(__import__("jax").random.key(0))
+
+    b8, p8 = bundle_of(2)  # 4 cells
+    b9, p9 = bundle_of(3)  # 9 cells
+    auto = Namespace(bake_cell_cull="auto", cell_cull=True)
+    assert co._make_point_culler(auto, b8, p8) is None
+    assert co._make_point_culler(auto, b9, p9) is not None
+    off = Namespace(bake_cell_cull="off", cell_cull=True)
+    assert co._make_point_culler(off, b9, p9) is None
+    on = Namespace(bake_cell_cull="on", cell_cull=True)
+    assert co._make_point_culler(on, b8, p8) is not None
