@@ -112,9 +112,24 @@ def _forward_core(cfg: NeRFConfig, enc_pad: int, enc, dir_enc, app, ws):
     return hs, sigma_pre, final, branch, rgb_pre
 
 
+def _noise_lanes(enc_raw, noise_col):
+    """(B, LANE) f32 noise broadcast from the enc tile's noise column.
+
+    A (B, 1) slice + broadcast of the (now cfg.dtype) tile trips a Mosaic
+    relayout bug on the deployed Nov-2025 libtpu ("Non-singleton logical
+    dimension is replicated in destination but not in source" on the
+    derived i1 masks); a one-hot matmul select (the house rule for
+    gathers) sidesteps layout inference entirely and is exact: 1.0 * x
+    single-term sums under f32 accumulation."""
+    sel = (
+        lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0) == noise_col
+    ).astype(enc_raw.dtype)
+    return lax.dot(enc_raw, sel, preferred_element_type=jnp.float32)
+
+
 def _sigma_activate(cfg, sigma_pre, noise):
     """Noise add + density activation, full-lane (col 0 is the live one)."""
-    s = sigma_pre + noise  # (B, LANE) + (B, 1) broadcast
+    s = sigma_pre + noise  # (B, LANE) + (B, LANE) (_noise_lanes) or scalar 0
     if cfg.shifted_softplus:
         return jax.nn.softplus(s - 1.0)
     return jnp.maximum(s, 0.0)
@@ -123,7 +138,9 @@ def _sigma_activate(cfg, sigma_pre, noise):
 def _train_fwd_kernel(cfg, enc_pad, dir_pad, dir_packed, app_w, noise_col,
                       *refs):
     it = iter(refs)
-    enc_raw = next(it)[...]  # f32; noise rides in padding column noise_col
+    # cfg.dtype tile; noise rides in padding column noise_col (values are
+    # pre-rounded to cfg.dtype, so reading them here is exact)
+    enc_raw = next(it)[...]
     enc = enc_raw.astype(cfg.dtype)
     if dir_packed:
         dir_enc = enc  # dir encoding packed into the enc tile's padding
@@ -133,7 +150,7 @@ def _train_fwd_kernel(cfg, enc_pad, dir_pad, dir_packed, app_w, noise_col,
     # Sigma noise is stashed in a zero-weight padding lane of enc (see
     # _freq_encode_block): a separate (B, 1) input would stream a full
     # (B, 128) physical tile per pass. 0.0 when training without noise.
-    noise = enc_raw[:, noise_col:noise_col + 1] if noise_col is not None else 0.0
+    noise = _noise_lanes(enc_raw, noise_col) if noise_col is not None else 0.0
     n_w = 2 * cfg.layers + 2 + (4 if cfg.uses_dir_branch else 0) + 2
     ws = [next(it)[...] for _ in range(n_w)]
     out_ref = next(it)
@@ -155,17 +172,19 @@ def _train_bwd_kernel(cfg, enc_pad, dir_pad, dir_packed, app_w, noise_col,
                       *refs):
     cd = cfg.dtype
     it = iter(refs)
-    enc_raw = next(it)[...]  # f32
+    enc_raw = next(it)[...]  # cfg.dtype tile (see _train_fwd_kernel)
     enc = enc_raw.astype(cd)
     if dir_packed:
         dir_enc = enc
     else:
         dir_enc = next(it)[...].astype(cd) if dir_pad else None
     app = next(it)[...].astype(cd) if app_w else None
-    noise = enc_raw[:, noise_col:noise_col + 1] if noise_col is not None else 0.0
+    noise = _noise_lanes(enc_raw, noise_col) if noise_col is not None else 0.0
     # Raw output cotangent, masked into rgb/sigma lanes HERE: masking outside
     # the kernel cost two extra (m, 128) f32 XLA passes (~2.4 ms/step).
-    g = next(it)[...]  # (B, LANE) f32
+    # Ships in cfg.dtype (halves the HBM stream); full-tile upcast here so
+    # all downstream mask/derivative math keeps its proven f32 layouts.
+    g = next(it)[...].astype(jnp.float32)  # (B, LANE)
     lane_g = lax.broadcasted_iota(jnp.int32, g.shape, 1)
     g_rgb_out = jnp.where(lane_g < 3, g, 0.0)    # lanes 0..2 live
     g_sigma_out = jnp.where(lane_g == 0, g[:, 3:4], 0.0)  # lane 0 live
@@ -194,9 +213,11 @@ def _train_bwd_kernel(cfg, enc_pad, dir_pad, dir_packed, app_w, noise_col,
     if cfg.shifted_softplus:
         g_sigma = g_sigma_out * jax.nn.sigmoid(sigma_pre + noise - 1.0)
     else:
+        # mask in f32 so g_sigma (and its bias-grad row sum) accumulate
+        # in f32 even with a cfg.dtype cotangent
         g_sigma = g_sigma_out * (
             (sigma_pre + noise).astype(jnp.float32) > 0
-        ).astype(g_sigma_out.dtype)
+        ).astype(jnp.float32)
 
     wit = iter(range(n_w))
     trunk_idx = [(next(wit), next(wit)) for _ in range(cfg.layers)]
@@ -353,16 +374,26 @@ def _make_train_fn(cfg: NeRFConfig, enc_pad: int, dir_pad: int,
             return outs[0], tuple(outs[1:])
         return None, tuple(outs)
 
+    # The rgb+sigma column slice lives INSIDE the custom_vjp: outside it,
+    # XLA transposes the slice into an explicit f32 (m, 4) -> (m, LANE)
+    # pad that wrote 268 MB per pass (pad.94/.102/.110 in the round-5
+    # profile, ~1.6 ms/step). Here the cotangent arrives as the packed
+    # (m, 4) array and is expanded directly in cfg.dtype — half the bytes,
+    # and exact for the weight-grad matmuls, which cast every operand to
+    # cfg.dtype anyway (_dT/_d_rhsT). The activation-derivative products
+    # still run in f32 (g upcasts against the f32 sigmoid terms); only
+    # the per-element cotangent value is rounded once.
     @jax.custom_vjp
     def apply(ws, enc, dir_enc, app):
-        return fwd_call(ws, enc, dir_enc, app)
+        return fwd_call(ws, enc, dir_enc, app)[:, :4]
 
     def apply_fwd(ws, enc, dir_enc, app):
-        return fwd_call(ws, enc, dir_enc, app), (ws, enc, dir_enc, app)
+        return fwd_call(ws, enc, dir_enc, app)[:, :4], (ws, enc, dir_enc, app)
 
     def apply_bwd(res, g):
         ws, enc, dir_enc, app = res
-        d_app, d_ws = bwd_call(ws, enc, dir_enc, app, g.astype(jnp.float32))
+        g_full = jnp.pad(g.astype(cfg.dtype), ((0, 0), (0, LANE - 4)))
+        d_app, d_ws = bwd_call(ws, enc, dir_enc, app, g_full)
         return (
             d_ws,
             jnp.zeros_like(enc),
@@ -435,6 +466,14 @@ def fused_nerf_train_apply(
         else:
             dir_coords = dirs
     dir_enc = None
+    # Encode math runs in f32 (sin arguments need the precision) but the
+    # tiles ship in cfg.dtype, exactly like the eval path: the kernels
+    # cast them to cfg.dtype on entry anyway, so an f32 tile was pure HBM
+    # waste — ~1.4 GB/step at the paper config (each tile is written once
+    # and read twice: forward + the backward's remat). The noise column
+    # stays exact because _model_eval pre-rounds noise values to
+    # cfg.dtype (callers passing their own noise should do the same for
+    # bit-equality with the XLA path).
     if packed.dir_packed:
         # Position + direction encodings in ONE pass and ONE stream (see
         # pack_params's dir_packed layout).
@@ -448,18 +487,18 @@ def fused_nerf_train_apply(
             packed.enc_pad,
             extra=noise_flat,
             extra_col=noise_col,
-        )
+        ).astype(cfg.dtype)
     else:
         enc = _freq_encode_block(
             xyz.astype(jnp.float32), cfg.pos_xyz_dim, packed.enc_pad,
             extra=noise_flat,
             extra_col=noise_col,
-        )
+        ).astype(cfg.dtype)
         if cfg.pos_dir_dim > 0:
             dir_enc = _freq_encode_block(
                 dir_coords.astype(jnp.float32), cfg.pos_dir_dim,
                 packed.dir_pad,
-            )
+            ).astype(cfg.dtype)
     app_w = 0
     if cfg.appearance_dim > 0 and not cfg.affine_appearance:
         assert app_embed is not None
@@ -476,4 +515,4 @@ def fused_nerf_train_apply(
         pad_points(dir_enc, m_pad),
         pad_points(app_embed.astype(jnp.float32), m_pad) if app_w else None,
     )[:m]
-    return out[:, :4]  # [sigmoid rgb, activated sigma]
+    return out  # (m, 4): [sigmoid rgb, activated sigma] (sliced in-vjp)

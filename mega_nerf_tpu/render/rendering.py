@@ -274,7 +274,17 @@ def _model_eval(
         # Uniform [0,1) pre-activation density noise (rendering.py:294,321).
         # Generated 1-D (packed lanes): a (n*s, 1) array is physically
         # (n*s, 128)-tiled on TPU, which made the RNG alone ~3 ms/step.
-        sigma_noise = jax.random.uniform(key, (n * s,))
+        # Rounded to the compute dtype: the fused train kernels carry the
+        # noise in a padding column of the (now compute-dtype) encode tile
+        # (pallas_train.fused_nerf_train_apply), and pre-rounding keeps
+        # the fused and XLA paths applying bit-identical noise. Rounded
+        # uniforms are still uniform regularization noise; the f32 encode
+        # tiles they forced cost ~1.4 GB/step of HBM traffic.
+        sigma_noise = (
+            jax.random.uniform(key, (n * s,))
+            .astype(getattr(bundle.config, "dtype", jnp.float32))
+            .astype(jnp.float32)
+        )
 
     pallas_ok, why = _pallas_gate(bundle, settings, train)
     # Trace-time, once per distinct path: a user benchmarking a config that
