@@ -106,6 +106,13 @@ class ModelBundle:
         return self.routing == "routed"
 
     @property
+    def use_ray_routed(self) -> bool:
+        """Ray-granularity routed serving (mega_apply_ray_routed) — an
+        opt-in that needs host-side per-ray support masks, so it engages
+        in Runner.render_image (which builds them), not in `apply`."""
+        return self.is_mega and self.routing == "ray"
+
+    @property
     def eval_submodule_cost(self) -> int:
         """Per-point MLP evaluation multiplier at query time — sizes the
         eval chunk cap (runtime.runner._eval_chunk_cap)."""

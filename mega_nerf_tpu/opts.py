@@ -204,11 +204,18 @@ def get_opts_base() -> argparse.ArgumentParser:
                              'because one libtpu build faults on the '
                              'composed merge+Pallas eval graph')
     parser.add_argument('--mega_routing', type=str, default='auto',
-                        choices=['auto', 'dense', 'routed'],
+                        choices=['auto', 'dense', 'routed', 'ray'],
                         help='merged-mixture evaluation strategy: dense '
-                             'blend (KxN point evals) vs sorted-gather '
-                             'block routing (~N evals); auto routes above '
-                             '8 submodules')
+                             'blend (KxN point evals), sorted-gather '
+                             'block routing (measured ~50x below MLP '
+                             'throughput — escape hatch only), or "ray" '
+                             '= ray-granularity one-hot capacity dispatch '
+                             '(models/mega.mega_apply_ray_routed: whole '
+                             'rays routed to their support cells, '
+                             'measured 2.11x dense at K=25 — PERF.md '
+                             'round 5; exact, with a per-image '
+                             'expected-cost gate falling back to dense). '
+                             'auto = dense through K=32')
     parser.add_argument('--routing_max_experts', type=int, default=4,
                         help='max nonzero-weight submodules per point the '
                              'routed path covers (boundary_margin blends; '

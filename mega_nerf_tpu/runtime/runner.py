@@ -805,6 +805,49 @@ class Runner:
             )
         return self._eval_render_fn_culled[bounded]
 
+    def _get_eval_render_fn_ray(self, bounded: bool, kv: int, capacity: int):
+        """Eval render for ray-routed mega mixtures (--mega_routing ray):
+        the load-balanced virtual-expert plan (models/mega.ray_route_plan)
+        arrives as traced support/cell-id arguments, so chunks with
+        different plans of the same (Kv, capacity) bucket share one
+        compilation — both axes are pow-2 bucketed by the planner, keeping
+        distinct compiles O(log R * log K). Params stay FULL (the routed
+        apply gathers rows by cell id in-graph), so there is no host-side
+        param slicing or subset cache at all."""
+        cache = getattr(self, "_eval_render_fn_ray_cache", None)
+        if cache is None:
+            cache = self._eval_render_fn_ray_cache = {}
+        key = (bounded, int(kv), int(capacity))
+        if key not in cache:
+            self._get_eval_render_fn()  # build the mesh/shardings
+            hp = self.hparams
+            settings = RenderSettings.from_hparams(
+                hp, get_depth=True, get_bg_fg_rgb=True
+            )
+            cap = int(capacity)
+
+            def fn(fg_params, bg_params, support, cells, rays,
+                   image_indices, fg_bounds=None):
+                results, _ = render_rays(
+                    self.fg, self.bg, fg_params, bg_params, rays,
+                    image_indices, settings,
+                    self.sphere_center, self.sphere_radius, train=False,
+                    fg_bounds=fg_bounds,
+                    fg_ray_support=support, fg_ray_capacity=cap,
+                    fg_ray_cells=cells,
+                )
+                return results
+
+            shardings = (
+                self._eval_replicated, self._eval_replicated,
+                self._eval_sharded, self._eval_replicated,
+                self._eval_sharded, self._eval_sharded,
+            )
+            if bounded:
+                shardings = shardings + (self._eval_sharded,)
+            cache[key] = jax.jit(fn, in_shardings=shardings)
+        return cache[key]
+
     def _get_occupancy(self):
         """Lazy (grid, invradius, offset) from --occupancy_path
         (render/ray_bounds.py), or None when the flag is unset."""
@@ -889,6 +932,16 @@ class Runner:
         n = rays.shape[0]
         # Chunks divide evenly over the local chips (rays shard over 'ldata').
         n_local = jax.local_device_count()
+        # Ray-granularity routed serving (--mega_routing ray): whole rays
+        # dispatched to their support cells via the load-balanced
+        # virtual-expert plan (models/mega.ray_route_plan — measured 2.11x
+        # dense at K=25, PERF.md round 5). Subsumes chunk-union culling
+        # (empty cells get no replica; granularity is per ray, not per
+        # chunk), so the two paths are mutually exclusive.
+        use_ray = (
+            getattr(self.fg, "use_ray_routed", False)
+            and int(self.fg.centroids.shape[0]) > 1
+        )
         # Exact per-chunk submodule culling (render/cell_cull.py): dense
         # mega mixtures only — the routed path already skips inactive cells
         # per point, and a single NeRF has nothing to cull.
@@ -896,10 +949,12 @@ class Runner:
             getattr(hp, "cell_cull", True)
             and self.fg.is_mega
             and not self.fg.use_routed
+            and not use_ray
             and int(self.fg.centroids.shape[0]) > 1
         )
         fg_centroids_np = (
-            np.asarray(self.fg.centroids, np.float32) if cull else None
+            np.asarray(self.fg.centroids, np.float32)
+            if (cull or use_ray) else None
         )
         sphere_c_np = (
             None if self.sphere_center is None
@@ -922,13 +977,14 @@ class Runner:
                 sphere_center=sphere_c_np, sphere_radius=sphere_r_np,
                 mode=str(getattr(hp, "occupancy_mode", "near")),
             )
-        if tighten is not None and cull:
-            # The culled path needs every ray's bounds BEFORE chunk sizing
-            # (they shrink the cull boxes). The un-culled path defers to
-            # per-chunk tightening inside the dispatch loop instead, where
-            # the host probe work overlaps the device rendering the
-            # previous chunks (24 s of serial numpy per 512^2 frame on a
-            # 1-core host before the overlap + blocked-scan rework).
+        if tighten is not None and (cull or use_ray):
+            # The culled/ray-routed paths need every ray's bounds BEFORE
+            # chunk sizing (they shrink the cull boxes / support sets).
+            # The un-culled path defers to per-chunk tightening inside the
+            # dispatch loop instead, where the host probe work overlaps
+            # the device rendering the previous chunks (24 s of serial
+            # numpy per 512^2 frame on a 1-core host before the overlap +
+            # blocked-scan rework).
             fg_bounds = tighten(rays)
         if cull:
             # Cull boxes end at the fg ellipsoid exit, not the (possibly
@@ -986,11 +1042,46 @@ class Runner:
             if float(buckets.mean()) / k_total > 0.7:
                 cull = False
                 ray_masks = None
+        if use_ray:
+            from mega_nerf_tpu.models import ray_route_plan
+
+            # Same conservative mask geometry as the culled path: supports
+            # over the fg-clamped (and occupancy-tightened) segments only.
+            ray_rays = clamp_rays_to_fg(rays, sphere_c_np, sphere_r_np)
+            if fg_bounds is not None:
+                ray_rays[:, 6] = np.maximum(ray_rays[:, 6], fg_bounds[:, 0])
+                ray_rays[:, 7] = np.minimum(ray_rays[:, 7], fg_bounds[:, 1])
+                ray_rays[:, 7] = np.maximum(ray_rays[:, 7], ray_rays[:, 6])
+            ray_masks = ray_support_masks(
+                ray_rays, fg_centroids_np, self.fg.boundary_margin,
+                self.fg.cluster_dim_start,
+            )
+            # Expected-cost gate from the image-level plan: padded slots
+            # per ray is the dense-equivalent submodule count the routed
+            # render will actually pay. When supports stay at ~K (frontal
+            # view of a small grid, no occupancy bounds), routing buys
+            # nothing and pays dispatch overhead — fall back to dense.
+            sup_img, cells_img, cap_img = ray_route_plan(ray_masks)
+            eff = max(1, -(-len(cells_img) * int(cap_img) // max(n, 1)))
+            if eff / max(int(self.fg.centroids.shape[0]), 1) > 0.7:
+                use_ray = False
+                ray_masks = None
+            else:
+                ray_plan_eff = eff
         if cull:
             # Size chunks by the BUCKETED count — per-chunk compute runs on
             # the power-of-two-padded subset (cell_cull.bucket_mask), which
             # can exceed the raw image-level count.
             submodules = max(int(bucket_mask(image_mask).sum()), 1)
+            bg_k = (
+                int(self.bg.centroids.shape[0])
+                if self.bg is not None and getattr(self.bg, "is_mega", False)
+                else 0
+            )
+        elif use_ray:
+            # Dense-equivalent cost per ray from the image-level plan; the
+            # (uncullable, dense) bg mixture gets its own bound.
+            submodules = ray_plan_eff
             bg_k = (
                 int(self.bg.centroids.shape[0])
                 if self.bg is not None and getattr(self.bg, "is_mega", False)
@@ -1011,11 +1102,15 @@ class Runner:
             # Occupancy-tightened segments are short enough for per-RAY
             # support sets; grouping rays by support set beats any spatial
             # tiling (AABB chunk bounds stay at the full image-level set on
-            # oblique views — see cell_cull.ray_support_masks).
+            # oblique views — see cell_cull.ray_support_masks). The
+            # ray-routed path reuses the same grouping: similar supports
+            # per chunk keep each chunk's virtual-expert count small.
             order = support_order(ray_masks)
             rays = rays[order]
-            cull_rays = cull_rays[order]
-            fg_bounds = fg_bounds[order]
+            if cull:
+                cull_rays = cull_rays[order]
+            if fg_bounds is not None:
+                fg_bounds = fg_bounds[order]
             ray_masks = ray_masks[order]
         elif cull and n == metadata.W * metadata.H:
             # Square-tile chunk order tightens each chunk's sample box
@@ -1094,7 +1189,28 @@ class Runner:
                     if fg_bounds is not None else tighten(chunk_rays)
                 )
                 tail = (jax.device_put(fb, self._eval_sharded),)
-            if cull:
+            if use_ray:
+                from mega_nerf_tpu.models import ray_route_plan
+
+                # Per-chunk load-balanced plan (host numpy — overlaps the
+                # device rendering the chunks already in flight, like the
+                # per-chunk tighten above). Pow-2 bucketing of both plan
+                # axes keeps the compile cache at O(log R * log K) keys.
+                sup_v, cells_v, cap_v = ray_route_plan(
+                    ray_masks[start : start + chunk]
+                )
+                fn = self._get_eval_render_fn_ray(
+                    bounded, sup_v.shape[1], cap_v
+                )
+                pending.append(fn(
+                    fg_params, bg_params,
+                    jax.device_put(sup_v, self._eval_sharded),
+                    jax.device_put(
+                        cells_v.astype(np.int32), self._eval_replicated
+                    ),
+                    rays_dev, image_indices, *tail,
+                ))
+            elif cull:
                 if ray_masks is not None:
                     # Union of the chunk's (support-sorted) per-ray sets,
                     # intersected with the image-level box mask: both are

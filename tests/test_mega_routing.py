@@ -467,3 +467,60 @@ def test_render_rays_ray_route_plan_matches_dense():
             np.asarray(routed[key]), np.asarray(base[key]),
             atol=2e-5, err_msg=key,
         )
+
+
+def test_runner_render_image_ray_routed_matches_dense(tmp_path):
+    # Full Runner.render_image equality: --mega_routing ray (per-chunk
+    # load-balanced virtual-expert dispatch) must reproduce the dense
+    # render on a trained joint-mega model. 5x5 grid so per-ray supports
+    # are genuinely partial (mean ~14/25 -> plan cost ~0.64 K, under the
+    # 0.7 expected-cost gate; a 3x3's ~6/9 correctly falls back to dense).
+    from mega_nerf_tpu.data.torch_io import save_pt
+    from mega_nerf_tpu.runtime.runner import Runner
+    from tests.synthetic import make_synthetic_dataset, tiny_train_hparams
+
+    ds = make_synthetic_dataset(
+        tmp_path / "ds", n_train=4, n_val=1, hw=(16, 16)
+    )
+    g = np.linspace(-1.1, 1.1, 5)
+    cents = np.array(
+        [[0.0, y, z] for y in g for z in g], np.float32
+    )
+    save_pt(
+        {
+            "centroids": cents,
+            "cluster_2d": False,
+            "grid_dim": [5, 5],
+            "min_position": np.full(3, -1.5, np.float32),
+            "max_position": np.full(3, 1.5, np.float32),
+        },
+        tmp_path / "params.pt",
+    )
+    hp = tiny_train_hparams(
+        ds, tmp_path / "exp",
+        train_iterations=4, ckpt_interval=4, val_interval=100,
+        train_mega_nerf=str(tmp_path / "params.pt"),
+    )
+    runner = Runner(hp)
+    runner.train()
+    state = runner.final_state
+    meta = runner.val_items[0]
+    base = runner.render_image(meta, state)
+
+    hp_ray = tiny_train_hparams(
+        ds, tmp_path / "exp_ray",
+        train_iterations=4,
+        train_mega_nerf=str(tmp_path / "params.pt"),
+        mega_routing="ray",
+    )
+    ray_runner = Runner(hp_ray, set_experiment_path=False)
+    assert ray_runner.fg.use_ray_routed
+    routed = ray_runner.render_image(meta, state)
+    # The routed jit cache being populated proves the gate engaged the
+    # ray path (a trivially-full support set would fall back to dense).
+    assert getattr(ray_runner, "_eval_render_fn_ray_cache", None)
+    assert sorted(base) == sorted(routed)
+    for key in sorted(base):
+        np.testing.assert_allclose(
+            routed[key], base[key], atol=3e-5, err_msg=key
+        )
