@@ -63,6 +63,12 @@ def main() -> None:
                          "sampling density, so this is the production "
                          "reduced-budget serving config (PSNR deltas "
                          "measured by occupancy_bench.py)")
+    ap.add_argument("--ab_ray", action="store_true",
+                    help="A/B --mega_routing ray (ray-granularity routed "
+                         "mixture, models/mega.mega_apply_ray_routed) vs "
+                         "the dense blend at depths[0]; occupancy flags "
+                         "apply to BOTH sides. Exact — reports the max "
+                         "|rgb| frame difference")
     ap.add_argument("--ab_occ", action="store_true",
                     help="A/B occupancy-bounded reduced-budget serving "
                          "WITHOUT submodule culling on either side: "
@@ -126,6 +132,16 @@ def main() -> None:
     if args.ab_cull:
         variants = [("cull_on", args.depths[0], on_flags),
                     ("cull_off", args.depths[0], ["--no_cell_cull"])]
+    elif args.ab_ray:
+        # Ray-granularity routed serving vs the dense blend, same bounds
+        # on both sides (occupancy flags, if given, shrink support sets —
+        # exactly the production serving stack). Routing is exact, so the
+        # frame difference must stay at float-rounding level.
+        variants = [
+            ("ray_on", args.depths[0],
+             on_flags + ["--mega_routing", "ray", "--no_cell_cull"]),
+            ("ray_off", args.depths[0], on_flags + ["--no_cell_cull"]),
+        ]
     elif args.ab_occ:
         variants = [
             ("occ_on", args.depths[0], on_flags + ["--no_cell_cull"]),
@@ -189,7 +205,7 @@ def main() -> None:
         # don't gate on it (quality deltas are occupancy_bench.py's job).
         from PIL import Image
 
-        tag = "cull" if args.ab_cull else "occ"
+        tag = "cull" if args.ab_cull else ("ray" if args.ab_ray else "occ")
         diffs = []
         for p_on in sorted(
             (work / f"frames_{tag}_on" / "rgbs").glob("*.jpg")
@@ -200,10 +216,11 @@ def main() -> None:
             diffs.append(int(np.abs(a - b).max()))
         assert diffs, "A/B rendered no frames — nothing was compared"
         results["max_abs_rgb_diff_u8"] = max(diffs)
-        if args.ab_cull and not args.occupancy_path:
-            results["cull_exact"] = max(diffs) <= 3
-            assert results["cull_exact"], (
-                f"cull-on frames diverge from cull-off by {max(diffs)} "
+        if (args.ab_cull or args.ab_ray) and not args.occupancy_path:
+            key = "cull_exact" if args.ab_cull else "ray_exact"
+            results[key] = max(diffs) <= 3
+            assert results[key], (
+                f"{tag}-on frames diverge from {tag}-off by {max(diffs)} "
                 "u8 steps"
             )
 

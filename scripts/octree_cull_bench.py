@@ -86,12 +86,31 @@ def main() -> None:
 
     on = np.load(work / "octree_cull_on.npz")
     off = np.load(work / "octree_cull_off.npz")
-    identical = set(on.files) == set(off.files) and all(
+    # Culling is exact in exact arithmetic, but the culled probes SUM the
+    # blend over the active subset — a different f32 reduction order than
+    # the dense K-way einsum. At K=8 the f16 leaf quantization absorbed
+    # that noise (bit-identical trees, PERF.md round 4); at K=25 ~1% of
+    # leaf values land 1 f16 ulp apart (measured max |diff| 0.03125 = one
+    # ulp at magnitude ~32). Structure must match exactly; leaf data to
+    # within 2 ulp-scaled steps.
+    structural = set(on.files) == set(off.files) and all(
         on[k].shape == off[k].shape and (on[k] == off[k]).all()
-        for k in on.files
+        for k in on.files if k != "data"
     )
-    results["trees_identical"] = bool(identical)
-    assert identical, "culled bake diverged from the dense bake"
+    a = np.asarray(on["data"], np.float32)
+    b = np.asarray(off["data"], np.float32)
+    ulp = np.spacing(np.maximum(np.abs(a), np.abs(b)).astype(np.float16))
+    ulp = np.asarray(ulp, np.float32)
+    data_close = a.shape == b.shape and bool(
+        (np.abs(a - b) <= 2.0 * np.maximum(ulp, np.float32(1e-6))).all()
+    )
+    results["trees_identical"] = bool(structural and (a == b).all())
+    results["trees_match"] = bool(structural and data_close)
+    results["leaf_diff_frac"] = round(float((a != b).mean()), 5)
+    assert structural and data_close, (
+        "culled bake diverged from the dense bake beyond f16 "
+        "reduction-order noise"
+    )
     results["speedup"] = round(
         results["cull_off"]["wall_s"] / results["cull_on"]["wall_s"], 2
     )
