@@ -238,7 +238,8 @@ def ray_route_capacity(support, bucket: bool = True) -> int:
     return cap
 
 
-def ray_route_plan(support, bucket: bool = True, expert_cost: float = 4.0):
+def ray_route_plan(support, bucket: bool = True, expert_cost: float = 4.0,
+                   capacity: int = 0, pad_experts_to: int = 0):
     """Load-balanced virtual-expert plan for `mega_apply_ray_routed`.
 
     support: host-side numpy (R, K) bool. Returns
@@ -263,6 +264,14 @@ def ray_route_plan(support, bucket: bool = True, expert_cost: float = 4.0):
     dispatch rows -> their output is never combined), so chunked render
     loops compile O(log R * log K) variants instead of one per distinct
     plan.
+
+    `capacity > 0` FORCES the dispatch capacity instead of optimizing it,
+    and `pad_experts_to` pads Kv with dead replicas up to a given count —
+    together they let a chunked render unify every chunk's plan under ONE
+    (Kv, capacity) compile key: per-chunk optimal plans produced a fresh
+    jit key per chunk shape and the compile sprawl swamped the routing
+    win end to end (measured: K=25 512^2 flythrough, ray 163 s/frame vs
+    dense 80 — first frame 451 s and never steady; PERF.md round 5).
     """
     import numpy as np
 
@@ -273,22 +282,26 @@ def ray_route_plan(support, bucket: bool = True, expert_cost: float = 4.0):
     if max_load == 0:
         # Degenerate: nothing routes anywhere. One dead expert keeps
         # shapes non-empty; its zero dispatch rows combine to zero.
-        sup_v = np.zeros((r, 1), bool)
-        return sup_v, np.zeros(1, np.int32), 1
+        kv_pad = max(1, int(pad_experts_to))
+        sup_v = np.zeros((r, kv_pad), bool)
+        return sup_v, np.zeros(kv_pad, np.int32), max(1, int(capacity))
 
-    cap_hi = 1 << (max_load - 1).bit_length()
-    best_c, best_cost = cap_hi, None
-    c = cap_hi
-    while c >= 1:
-        replicas = -(-loads // c)
-        cost = float((replicas * c).sum()) + expert_cost * float(
-            replicas.sum()
-        )
-        # strict improvement only: ties keep the LARGER capacity
-        if best_cost is None or cost < best_cost:
-            best_c, best_cost = c, cost
-        c //= 2
-    cap = int(best_c)
+    if capacity > 0:
+        cap = int(capacity)
+    else:
+        cap_hi = 1 << (max_load - 1).bit_length()
+        best_c, best_cost = cap_hi, None
+        c = cap_hi
+        while c >= 1:
+            replicas = -(-loads // c)
+            cost = float((replicas * c).sum()) + expert_cost * float(
+                replicas.sum()
+            )
+            # strict improvement only: ties keep the LARGER capacity
+            if best_cost is None or cost < best_cost:
+                best_c, best_cost = c, cost
+            c //= 2
+        cap = int(best_c)
 
     cols, ids = [], []
     for j in range(k):
@@ -299,11 +312,15 @@ def ray_route_plan(support, bucket: bool = True, expert_cost: float = 4.0):
             cols.append(col)
             ids.append(j)
     kv = len(cols)
-    if bucket:
+    kv_pad = kv
+    if pad_experts_to:
+        assert pad_experts_to >= kv, (pad_experts_to, kv)
+        kv_pad = int(pad_experts_to)
+    elif bucket:
         kv_pad = 1 << (kv - 1).bit_length()
-        for _ in range(kv_pad - kv):
-            cols.append(np.zeros(r, bool))
-            ids.append(0)
+    for _ in range(kv_pad - kv):
+        cols.append(np.zeros(r, bool))
+        ids.append(0)
     return (
         np.stack(cols, axis=1),
         np.asarray(ids, np.int32),

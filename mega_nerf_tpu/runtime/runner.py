@@ -1144,6 +1144,36 @@ class Runner:
             ray_masks = np.concatenate(
                 [ray_masks, np.tile(ray_masks[-1:], (n_padded - n, 1))]
             )
+        ray_plans = None
+        if use_ray:
+            from mega_nerf_tpu.models import ray_route_plan
+
+            # Plan EVERY chunk upfront under ONE (Kv, capacity) compile
+            # key: per-chunk optimal plans produce a fresh jit key per
+            # chunk shape, and over the relay the compile sprawl swamps
+            # the routing win end to end (measured: K=25 512^2 flythrough
+            # never reached steady state in 6 frames — PERF.md round 5).
+            # The image-level plan's capacity bounds every chunk's
+            # per-cell load, so forcing it only pads; experts pad to the
+            # max chunk count's pow-2 bucket. Host cost: one extra mask
+            # pass, ~ms.
+            cap_u = int(cap_img)
+            ray_plans = [
+                ray_route_plan(
+                    ray_masks[s : s + chunk], capacity=cap_u
+                )
+                for s in range(0, n_padded, chunk)
+            ]
+            kv_u = 1 << (
+                max(p[0].shape[1] for p in ray_plans) - 1
+            ).bit_length()
+            ray_plans = [
+                ray_route_plan(
+                    ray_masks[s : s + chunk], capacity=cap_u,
+                    pad_experts_to=kv_u,
+                )
+                for s in range(0, n_padded, chunk)
+            ]
 
         image_indices = (
             np.full(chunk, metadata.image_index, np.int32)
@@ -1190,15 +1220,7 @@ class Runner:
                 )
                 tail = (jax.device_put(fb, self._eval_sharded),)
             if use_ray:
-                from mega_nerf_tpu.models import ray_route_plan
-
-                # Per-chunk load-balanced plan (host numpy — overlaps the
-                # device rendering the chunks already in flight, like the
-                # per-chunk tighten above). Pow-2 bucketing of both plan
-                # axes keeps the compile cache at O(log R * log K) keys.
-                sup_v, cells_v, cap_v = ray_route_plan(
-                    ray_masks[start : start + chunk]
-                )
+                sup_v, cells_v, cap_v = ray_plans[start // chunk]
                 fn = self._get_eval_render_fn_ray(
                     bounded, sup_v.shape[1], cap_v
                 )
