@@ -133,9 +133,9 @@ def get_opts_base() -> argparse.ArgumentParser:
                              'cull-on baked 1.39x SLOWER at K=8 (83.4 s vs '
                              '60.0 s, PERF.md round 5 — per-bucket compiles '
                              '+ param slicing outweigh the probe MLP '
-                             'savings). auto = on only above 8 submodules, '
-                             'where the K x FLOPs argument has real '
-                             'headroom')
+                             'savings; the K=25 bake measured slower '
+                             'culled as well). auto = off at every '
+                             'measured K; on = opt-in')
     parser.add_argument('--occupancy_path', type=str, default=None,
                         help='baked octree .npz (scripts/create_octree.py) '
                              'to tighten each eval ray\'s fg sampling '

@@ -80,11 +80,16 @@ def _make_point_culler(hparams, bundle, params):
 
     Gated by --bake_cell_cull, NOT the serving --no_cell_cull flag: the
     warm-cache bake A/B measured cull-on 1.39x SLOWER at K=8 (83.4 s vs
-    60.0 s on the 4x2 drone bake, trees identical — PERF.md round 5).
-    'auto' engages only above 8 submodules."""
+    60.0 s on the 4x2 drone bake, trees identical), and the K=25 bake on
+    the 5x5 workflow container measured cull-on slower cold as well
+    (~25 min vs 14.5 min; leaf data 1 f16 ulp apart on ~1% of values —
+    blend-reduction-order noise) — PERF.md round 5. The probes' MLP time
+    is small next to per-chunk mask math, param-subset gathers and
+    executable switching at every measured K, so 'auto' is OFF; 'on'
+    remains the opt-in for a future measurement that flips it."""
     mode = str(getattr(hparams, "bake_cell_cull", "auto"))
     k = int(bundle.centroids.shape[0]) if bundle.is_mega else 1
-    if mode == "off" or (mode == "auto" and k <= 8):
+    if mode != "on":
         return None
     if not (
         getattr(hparams, "cell_cull", True)

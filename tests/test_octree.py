@@ -249,8 +249,9 @@ def test_create_octree_from_bg_training_checkpoint(tmp_path):
 
 def test_bake_cell_cull_gate():
     # The bake's probe culler is gated by --bake_cell_cull, not the
-    # serving cull flag: the warm bake A/B measured cull-on 1.39x SLOWER
-    # at K=8 (PERF.md round 5), so 'auto' engages only above 8 cells.
+    # serving cull flag: the bake A/Bs measured cull-on slower at BOTH
+    # K=8 (1.39x warm) and K=25 (cold) — PERF.md round 5 — so 'auto' is
+    # off at every K and 'on' is the opt-in.
     from argparse import Namespace
 
     import scripts.create_octree as co
@@ -265,8 +266,9 @@ def test_bake_cell_cull_gate():
     b9, p9 = bundle_of(3)  # 9 cells
     auto = Namespace(bake_cell_cull="auto", cell_cull=True)
     assert co._make_point_culler(auto, b8, p8) is None
-    assert co._make_point_culler(auto, b9, p9) is not None
+    assert co._make_point_culler(auto, b9, p9) is None
     off = Namespace(bake_cell_cull="off", cell_cull=True)
     assert co._make_point_culler(off, b9, p9) is None
     on = Namespace(bake_cell_cull="on", cell_cull=True)
     assert co._make_point_culler(on, b8, p8) is not None
+    assert co._make_point_culler(on, b9, p9) is not None
