@@ -216,6 +216,14 @@ def get_opts_base() -> argparse.ArgumentParser:
                              'round 5; exact, with a per-image '
                              'expected-cost gate falling back to dense). '
                              'auto = dense through K=32')
+    parser.add_argument('--ray_routing_gate', type=float, default=0.45,
+                        help='with --mega_routing ray: route an image only '
+                             'when its plan\'s dense-equivalent submodule '
+                             'cost is below this fraction of K (else fall '
+                             'back to dense). Measured on-chip at K=25: '
+                             'plan cost 0.17K won 2.11x, 0.64K LOST 2.07x '
+                             '(padding + dispatch overhead exceed the thin '
+                             'MLP saving) — PERF.md round 5')
     parser.add_argument('--routing_max_experts', type=int, default=4,
                         help='max nonzero-weight submodules per point the '
                              'routed path covers (boundary_margin blends; '

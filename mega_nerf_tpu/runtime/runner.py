@@ -1058,12 +1058,18 @@ class Runner:
             )
             # Expected-cost gate from the image-level plan: padded slots
             # per ray is the dense-equivalent submodule count the routed
-            # render will actually pay. When supports stay at ~K (frontal
-            # view of a small grid, no occupancy bounds), routing buys
-            # nothing and pays dispatch overhead — fall back to dense.
+            # render will actually pay. Measured on-chip at K=25 (512^2
+            # frames, warm): plan cost 0.17 K won 2.11x over dense, but
+            # 0.64 K LOST 2.07x — chunk-plan padding and dispatch
+            # overhead exceed the thin MLP saving long before the
+            # break-even a FLOP count predicts. Route only genuinely
+            # sparse views (large grids, oblique/close-up cameras,
+            # occupancy-tightened segments); everything else falls back
+            # to dense. --ray_routing_gate tunes the threshold.
             sup_img, cells_img, cap_img = ray_route_plan(ray_masks)
             eff = max(1, -(-len(cells_img) * int(cap_img) // max(n, 1)))
-            if eff / max(int(self.fg.centroids.shape[0]), 1) > 0.7:
+            gate = float(getattr(hp, "ray_routing_gate", 0.45))
+            if eff / max(int(self.fg.centroids.shape[0]), 1) > gate:
                 use_ray = False
                 ray_masks = None
             else:
@@ -1096,6 +1102,14 @@ class Runner:
             hp.image_pixel_batch_size, n,
             _eval_chunk_cap(hp, n_local, submodules, bg_submodules=bg_k),
         )
+        if use_ray and chunk > 1:
+            # The ray-routed chunk size derives from the image's plan cost
+            # (`eff`), which varies per view — a raw value would change the
+            # jitted ray shapes every FRAME of a flythrough and recompile
+            # the whole (Kv, capacity)-keyed family each time (measured:
+            # frames never reached steady state). Floor to a power of two:
+            # chunk shapes then coincide across views.
+            chunk = 1 << (int(chunk).bit_length() - 1)
         chunk = ((chunk + n_local - 1) // n_local) * n_local
         order = None
         if ray_masks is not None:

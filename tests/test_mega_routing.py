@@ -473,8 +473,8 @@ def test_runner_render_image_ray_routed_matches_dense(tmp_path):
     # Full Runner.render_image equality: --mega_routing ray (per-chunk
     # load-balanced virtual-expert dispatch) must reproduce the dense
     # render on a trained joint-mega model. 5x5 grid so per-ray supports
-    # are genuinely partial (mean ~14/25 -> plan cost ~0.64 K, under the
-    # 0.7 expected-cost gate; a 3x3's ~6/9 correctly falls back to dense).
+    # are genuinely partial (mean ~14/25 -> plan cost ~0.64 K); the
+    # profitability gate is forced open (see below).
     from mega_nerf_tpu.data.torch_io import save_pt
     from mega_nerf_tpu.runtime.runner import Runner
     from tests.synthetic import make_synthetic_dataset, tiny_train_hparams
@@ -507,11 +507,16 @@ def test_runner_render_image_ray_routed_matches_dense(tmp_path):
     meta = runner.val_items[0]
     base = runner.render_image(meta, state)
 
+    # gate forced open: this test pins EXACTNESS of the routed render;
+    # profitability gating is calibrated from on-chip measurement
+    # (PERF.md round 5) and pinned by the assertions on `eff` semantics
+    # in the runner.
     hp_ray = tiny_train_hparams(
         ds, tmp_path / "exp_ray",
         train_iterations=4,
         train_mega_nerf=str(tmp_path / "params.pt"),
         mega_routing="ray",
+        ray_routing_gate=1.0,
     )
     ray_runner = Runner(hp_ray, set_experiment_path=False)
     assert ray_runner.fg.use_ray_routed
