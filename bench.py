@@ -15,7 +15,7 @@ hangs. Structure (the round-2 bench timed out because the fused-Pallas
 train-step compile can hang on some libtpu builds, so every device-touching
 stage runs in its own watchdogged subprocess):
 
-  1. health probe: chained matmuls, 60 s budget, retried (the relay has
+  1. health probe: chained matmuls, 100 s budget, retried (the relay has
      transient stalls that clear in minutes). All attempts failing ->
      report path "tpu-unavailable" with value 0 rather than hanging the
      driver.
@@ -71,7 +71,7 @@ def _grouped_cdf_flag() -> bool:
 def _grouped_merge_flag() -> bool:
     return _env_flag("MNTPU_TRAIN_GROUPED_MERGE")
 
-HEALTH_TIMEOUT_S = 60
+HEALTH_TIMEOUT_S = 100  # cold relay init + first compile measured 71 s
 HEALTH_RETRIES = 3  # transient relay stalls: a probe that timed out at
                     # 120 s passed in 1.8 s two minutes later (observed)
 HEALTH_RETRY_SLEEP_S = 25
@@ -80,9 +80,11 @@ HEALTH_RETRY_SLEEP_S = 25
 # compile 101-140 s, and a same-salt timed stage that still took >160 s
 # even though its prime had just written the cache entry — so each timed
 # budget must cover a full fresh compile, not just a cache hit.
-XLA_TIMEOUT_S = 260
-PALLAS_TIMEOUT_S = 220
-PRIME_TIMEOUT_S = 280
+XLA_TIMEOUT_S = 420
+PALLAS_TIMEOUT_S = 420  # relay-degraded evenings: a cache-HIT
+#   stage measured 149 s (xla) while the same child took <60 s
+#   hours earlier; 220 s produced false 'xla' fallbacks
+PRIME_TIMEOUT_S = 420
 RESULT_TAG = "BENCH_RESULT "
 
 
@@ -344,8 +346,16 @@ def main() -> None:
                                  extra_env=salt_env)
         print(f"[bench] {note} (salt={salt})", flush=True)
         env = salt_env if prime is not None else None
-        result, note = _run_child(name, timeout_s, extra_env=env)
-        print(f"[bench] {note}", flush=True)
+        # Relay stalls are transient (observed: a timed stage dead at
+        # 420 s minutes after its own prime passed in 149 s, and a
+        # health probe passing in 32 s right after a 100 s timeout) —
+        # one plain retry recovers them; cache poisoning gets its own
+        # salted retry at the call site.
+        for attempt in range(2):
+            result, note = _run_child(name, timeout_s, extra_env=env)
+            print(f"[bench] {note}", flush=True)
+            if result is not None or "timed out" not in note:
+                break
         return result, note
 
     best, best_path = 0.0, "failed"
